@@ -1,0 +1,97 @@
+"""Static configuration for the metrabs-tpu framework.
+
+The reference implementation drives everything through a global ~80-entry FLAGS
+singleton (`metrabs_tf/init.py:91-253`) that is read from deep inside traced
+graphs. Here configuration is an explicit, hashable, frozen dataclass that is
+closed over at `jax.jit` trace time, so every numeric hyperparameter is a
+compile-time constant for XLA and functions stay pure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of the single-person crop model.
+
+    Defaults mirror the reference (`metrabs_tf/init.py:123-227`,
+    `metrabs_pytorch/config/config.yaml`): 256px crops, stride-32 backbone with
+    centered striding, 8 depth voxels, a 2200mm metric bounding cube and a 0.5
+    blend between the 2D- and 3D-based absolute reconstructions inside the FOV.
+    """
+
+    proc_side: int = 256
+    stride_train: int = 32
+    stride_test: int = 32
+    centered_stride: bool = True
+    depth: int = 8
+    box_size_mm: float = 2200.0
+    mix_3d_inside_fov: float = 0.5
+    weak_perspective: bool = False
+    backbone: str = 'mobilenetv3-small'
+    model_class: str = 'Metrabs'
+    # Number of joints the head predicts (reference: joint_info.n_joints).
+    n_joints: int = 17
+    # Compute dtype for the backbone. The reference uses float16 mixed
+    # precision on GPU (`init.py:166-168`); TPU prefers bfloat16. The
+    # soft-argmax decode and reconstruction always run in float32.
+    dtype: str = 'bfloat16'
+
+    @property
+    def num_heatmap_bins(self) -> int:
+        return self.proc_side // self.stride_test
+
+
+@dataclasses.dataclass(frozen=True)
+class AugConfig:
+    """Test-time augmentation setup.
+
+    In the reference these are packaging-time flags frozen into the SavedModel
+    (`metrabs_tf/multiperson/save_model.py:21-24`, read inside the traced graph
+    at `multiperson_model.py:141-158`). Here they are explicit pipeline
+    construction parameters, defaulting to the released models' values.
+    """
+
+    rot_aug_degrees: float = 25.0
+    rot_aug_360: bool = False
+    rot_aug_360_half: bool = False
+    detector_flip_vertical_too: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference defaults: `metrabs_tf/init.py`)."""
+
+    batch_size: int = 32
+    batch_size_2d: int = 32
+    batch_size_test: int = 150
+    training_steps: int = 400_000
+    base_learning_rate: float = 2.121e-4
+    weight_decay: float = 3e-3
+    ema_momentum: float = 1.0
+    grad_accum_steps: int = 1
+    dual_finetune_lr: bool = False
+    loss2d_factor: float = 0.2
+    absloss_factor: float = 0.1
+    absloss_start_step: int = 5000
+    mean_relative: bool = True
+    ghost_bn_splits: Tuple[int, ...] = ()
+    seed: int = 1
+    # Latent-joint / manifold fine-tuning modes (`init.py:235-251`).
+    transform_coords: bool = False
+    predict_all_and_latents: bool = False
+    regularize_to_manifold: bool = False
+    loss_manif_factor: float = 1.0
+    loss_manif_factor2d: float = 1.0
+    teacher_loss_factor: float = 1.0
+    teacher_start_step: int = 5000
+    allhead_aegt_loss_factor: float = 1.0
+    stop_gradient_latent: bool = True
+
+
+DEFAULT_MODEL_CONFIG = ModelConfig()
+DEFAULT_AUG_CONFIG = AugConfig()
+DEFAULT_TRAIN_CONFIG = TrainConfig()
