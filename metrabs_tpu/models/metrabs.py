@@ -68,9 +68,13 @@ class Metrabs(nn.Module):
         return features, coords2d, coords3d
 
     def __call__(self, image: jnp.ndarray, intrinsics: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 sample_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """[N, S, S, 3] images + [N, 3, 3] intrinsics -> [N, J, 3] absolute
-        camera-space joints in millimeters."""
+        camera-space joints in millimeters.
+
+        `sample_valid` masks padding crops out of the reconstruction's pooled
+        RMS normalization (see `reconstruct_ref_fullpersp`)."""
         _, coords2d, coords3d = self.backbone_and_head(image, train=train)
 
         if self.latent_mode == 'predict_all_and_latents':
@@ -83,7 +87,8 @@ class Metrabs(nn.Module):
             proc_side=self.cfg.proc_side, stride=stride,
             centered_stride=self.cfg.centered_stride,
             mix_3d_inside_fov=self.cfg.mix_3d_inside_fov,
-            weak_perspective=self.cfg.weak_perspective)
+            weak_perspective=self.cfg.weak_perspective,
+            sample_valid=sample_valid)
 
         if self.latent_mode:
             coords3d_abs = self.latent_points_to_joints(coords3d_abs)

@@ -72,7 +72,8 @@ def reconstruct_ref_weakpersp(
 
 def reconstruct_ref_fullpersp(
         normalized_2d: jnp.ndarray, coords3d_rel: jnp.ndarray,
-        validity_mask: jnp.ndarray) -> jnp.ndarray:
+        validity_mask: jnp.ndarray,
+        sample_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Full-perspective reference point via weighted, Tikhonov-regularized
     least squares (`tfu3d.py:165-199`).
 
@@ -82,13 +83,24 @@ def reconstruct_ref_fullpersp(
     equations with the same RMS pre-normalization, validity weights (+1e-4)
     and l2 regularizer (1e-2) as the reference, which keeps the op a fused
     pile of batched matmuls instead of a QR decomposition.
+
+    `sample_valid` ([...] batch-shaped bool) excludes padding batch elements
+    from the pooled RMS normalization: the reference pools the RMS over the
+    whole (ragged, hence padding-free) batch (`tfu3d.py:180-183`); with padded
+    fixed-shape batches the garbage crops must not perturb the shared scale.
     """
     n_points = normalized_2d.shape[-2]
 
     def rms_normalize(x):
-        # Reference normalizes by the RMS over the *whole tensor* (all batch
-        # elements pooled), `tfu3d.py:180-183`.
-        scale = jnp.sqrt(jnp.mean(jnp.square(x)))
+        if sample_valid is None:
+            scale = jnp.sqrt(jnp.mean(jnp.square(x)))
+        else:
+            mask = jnp.reshape(
+                sample_valid, sample_valid.shape + (1,) * (x.ndim - sample_valid.ndim))
+            mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+            scale = jnp.sqrt(
+                jnp.sum(jnp.square(x) * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+        scale = jnp.maximum(scale, 1e-10)
         return scale, x / scale
 
     scale2d, p = rms_normalize(normalized_2d)  # [..., J, 2]
@@ -127,7 +139,8 @@ def reconstruct_absolute(
         coords2d: jnp.ndarray, coords3d_rel: jnp.ndarray, intrinsics: jnp.ndarray,
         *, proc_side: int, stride: int, centered_stride: bool = True,
         mix_3d_inside_fov: Optional[jnp.ndarray] = None,
-        weak_perspective: bool = False) -> jnp.ndarray:
+        weak_perspective: bool = False,
+        sample_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fuses 2D pixel predictions and metric root-relative 3D predictions into
     absolute camera-space 3D joints (`tfu3d.py:118-142`).
 
@@ -142,8 +155,11 @@ def reconstruct_absolute(
     in_fov = is_within_fov(
         coords2d, proc_side=proc_side, stride=stride, centered_stride=centered_stride)
 
-    ref_fn = reconstruct_ref_weakpersp if weak_perspective else reconstruct_ref_fullpersp
-    ref = ref_fn(coords2d_normalized, coords3d_rel, in_fov)
+    if weak_perspective:
+        ref = reconstruct_ref_weakpersp(coords2d_normalized, coords3d_rel, in_fov)
+    else:
+        ref = reconstruct_ref_fullpersp(
+            coords2d_normalized, coords3d_rel, in_fov, sample_valid=sample_valid)
 
     coords_abs_3d_based = coords3d_rel + ref[..., jnp.newaxis, :]
     reference_depth = ref[..., 2]

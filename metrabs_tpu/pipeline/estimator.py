@@ -1,0 +1,432 @@
+"""Multi-person absolute 3D pose estimation: the fused TPU pipeline.
+
+TPU-native re-design of `metrabs_tf/multiperson/multiperson_model.py`. The
+reference is a SavedModel whose graph loops over crop chunks (TensorArray) and
+over crops (autograph warp loop) calling C++ custom ops. Here the entire
+boxes -> crops -> TTA -> backbone -> decode -> reconstruct -> filter -> world
+flow is ONE jit-compiled function:
+
+ - raggedness is eliminated: boxes come padded to [batch, max_boxes] with a
+   validity mask; the empty-detection special case (`multiperson_model.py:
+   107-112,417-439`) disappears under masking;
+ - the TTA axis is folded into the crop batch: all num_aug x n_boxes crops are
+   produced by one batched gather warp and one backbone forward;
+ - `internal_batch_size` chunking becomes a `lax.map` over equally-shaped
+   chunks (`multiperson_model.py:241-290`), bounding peak memory without
+   recompilation;
+ - skeleton selection is a static gather (no DenseHashTable);
+ - plausibility filtering + pose NMS run as masked fixed-shape ops on device.
+
+Static (compile-time) arguments: num_aug, average_aug, antialias_factor,
+internal_batch_size, skeleton, suppress_implausible_poses, max_boxes. Each
+combination is its own specialized XLA program, cached by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrabs_tpu.config import AugConfig, ModelConfig
+from metrabs_tpu.ops import camera as camera_ops
+from metrabs_tpu.ops import distortion as distortion_ops
+from metrabs_tpu.ops import rotation as rotation_ops
+from metrabs_tpu.ops import warp as warp_ops
+from metrabs_tpu.pipeline import plausibility
+from metrabs_tpu.pipeline import tta as tta_mod
+from metrabs_tpu.pipeline.skeletons import SkeletonRegistry
+from metrabs_tpu.utils.joint_info import JointInfo
+
+UNKNOWN_INTRINSICS = -jnp.ones((3, 3), jnp.float32)
+
+# Default mean bone lengths (mm) for the built-in h36m_17 skeleton's edges,
+# used by the plausibility filter. The reference loads these from a dataset
+# pickle frozen into the SavedModel (`plausibility_check.py:12-16`); they are
+# a replaceable asset here too (pass bone_mean_lengths to PoseEstimator).
+H36M_17_MEAN_BONES_MM = np.array(
+    [130.0, 450.0, 445.0, 130.0, 450.0, 445.0, 235.0, 250.0, 115.0, 115.0,
+     150.0, 280.0, 250.0, 150.0, 280.0, 250.0], np.float32)
+
+
+def _get_new_rotation_and_scale(
+        intrinsic_matrix: jnp.ndarray, distortion_coeffs: jnp.ndarray,
+        camspace_up: jnp.ndarray, boxes: jnp.ndarray, box_valid: jnp.ndarray,
+        proc_side: int):
+    """Per-box look-at rotation and zoom factor (`multiperson_model.py:383-415`).
+
+    Returns (R_noaug [N,3,3], box_scales [N]). Degenerate (padding) boxes get
+    scale 1 and identity-ish rotations; their outputs are masked downstream.
+    """
+    x, y, w, h = (boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+    # Center + 4 side midpoints, in homogeneous pixel coords.
+    pts = jnp.stack([
+        jnp.stack([x + w / 2, y + h / 2], axis=1),
+        jnp.stack([x + w / 2, y], axis=1),
+        jnp.stack([x + w, y + h / 2], axis=1),
+        jnp.stack([x + w / 2, y + h], axis=1),
+        jnp.stack([x, y + h / 2], axis=1)], axis=1)  # [N, 5, 2]
+    inv_k = jnp.linalg.inv(intrinsic_matrix)
+    pts_cam = jnp.einsum(
+        'bpc,bCc->bpC', camera_ops.to_homogeneous(pts), inv_k, precision='highest')
+    pts_cam = camera_ops.to_homogeneous(distortion_ops.undistort_points(
+        pts_cam[:, :, :2], distortion_coeffs[:, jnp.newaxis, :]))
+
+    box_center_cam = pts_cam[:, 0]
+    R_noaug = rotation_ops.lookat_rotation_matrix(box_center_cam, camspace_up)
+
+    side_cam = pts_cam[:, 1:5]
+    side_new = camera_ops.project(jnp.einsum(
+        'bpc,bCc->bpC', side_cam,
+        jnp.einsum('bij,bjk->bik', intrinsic_matrix, R_noaug, precision='highest'),
+        precision='highest'))
+    vertical = jnp.linalg.norm(side_new[:, 0] - side_new[:, 2], axis=-1)
+    horizontal = jnp.linalg.norm(side_new[:, 1] - side_new[:, 3], axis=-1)
+    box_size_new = jnp.maximum(vertical, horizontal)
+    box_ok = jnp.logical_and(box_valid, box_size_new > 0)
+    box_scales = jnp.where(
+        box_ok, jnp.float32(proc_side) / jnp.where(box_ok, box_size_new, 1.0), 1.0)
+    return R_noaug, box_scales
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorSpec:
+    """Static configuration closed over by the jitted pipeline."""
+    cfg: ModelConfig
+    aug_cfg: AugConfig
+    n_joints_model: int  # raw joint count the crop model emits
+    n_joints_out: int    # after optional joint_transform_matrix
+
+
+def estimate_poses_batched_fn(
+        crop_model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        spec: EstimatorSpec,
+        mirror_mapping: np.ndarray,
+        joint2bone_mat: np.ndarray,
+        mean_bones: np.ndarray,
+        joint_transform_matrix: Optional[np.ndarray] = None):
+    """Builds the core batched estimation function.
+
+    `crop_model_fn(crops_f[N,S,S,3], intrinsics[N,3,3], sample_valid[N])
+    -> poses3d[N,J,3]` is the raw crop model (params already bound), mirroring
+    the L5->L3 interface `crop_model.predict_multi`
+    (`multiperson_model.py:305-307`) plus a padding-validity mask that keeps
+    garbage crops out of the reconstruction's pooled RMS normalization.
+    """
+    cfg = spec.cfg
+    res = cfg.proc_side
+
+    def fn(images, boxes, box_valid, intrinsic_matrix, distortion_coeffs,
+           extrinsic_matrix, world_up_vector, default_fov_degrees,
+           *, num_aug: int, average_aug: bool, antialias_factor: int,
+           internal_batch_size: int, skeleton_indices: Tuple[int, ...],
+           suppress_implausible_poses: bool) -> Dict[str, jnp.ndarray]:
+        n_images, img_h, img_w = images.shape[0], images.shape[1], images.shape[2]
+        max_boxes = boxes.shape[1]
+        n_total = n_images * max_boxes
+
+        # Default intrinsics from FOV where unknown (all entries == -1).
+        fov_k = camera_ops.intrinsics_from_fov(default_fov_degrees, (img_h, img_w))
+        unknown = jnp.all(intrinsic_matrix == -1, axis=(-2, -1), keepdims=True)
+        intrinsic_matrix = jnp.where(unknown, fov_k, intrinsic_matrix)
+
+        # Up-vector in camera space (`multiperson_model.py:134-136`).
+        camspace_up = jnp.einsum(
+            'c,bCc->bC', world_up_vector, extrinsic_matrix[..., :3, :3],
+            precision='highest')
+
+        # Flatten [B, max_boxes] -> [N]; camera params repeat per box.
+        boxes_flat = boxes.reshape(n_total, boxes.shape[-1])
+        valid_flat = box_valid.reshape(n_total)
+        image_ids = jnp.repeat(jnp.arange(n_images, dtype=jnp.int32), max_boxes)
+        k_flat = jnp.repeat(intrinsic_matrix, max_boxes, axis=0)
+        dist_flat = jnp.repeat(distortion_coeffs, max_boxes, axis=0)
+        up_flat = jnp.repeat(camspace_up, max_boxes, axis=0)
+
+        # TTA schedules (static; numpy at trace time).
+        tta = tta_mod.make_tta_params(num_aug, spec.aug_cfg)
+        gammas = jnp.asarray(tta.gammas)
+        aug_scales = jnp.asarray(tta.scales)
+        rotflip = jnp.asarray(tta.rotflip_mats)
+        should_flip = jnp.asarray(tta.should_flip)
+
+        # Linearize gamma once for the whole image (`multiperson_model.py:252`).
+        images_lin = (images.astype(jnp.float32) / np.float32(255.0)) ** 2.2
+
+        R_noaug, box_scales = _get_new_rotation_and_scale(
+            k_flat, dist_flat, up_flat, boxes_flat, valid_flat, res)
+
+        def predict_chunk(chunk):
+            """One internal batch: warp + crop-model forward for all augs of a
+            chunk of boxes (`multiperson_model.py:292-327`)."""
+            (k_c, dist_c, boxes_c, r_noaug_c, scales_c, ids_c, valid_c) = chunk
+            n_box = boxes_c.shape[0]
+
+            crop_scales = aug_scales[:, jnp.newaxis] * scales_c[jnp.newaxis, :]  # [A,n]
+            # New intrinsics: focal scaled, principal point centered
+            # (`multiperson_model.py:342-351`).
+            topleft = k_c[jnp.newaxis, :, :2, :2] * crop_scales[:, :, None, None]
+            pp = jnp.full((num_aug, n_box, 2, 1), res / 2.0, jnp.float32)
+            row3 = jnp.concatenate([
+                jnp.zeros((num_aug, n_box, 1, 2), jnp.float32),
+                jnp.ones((num_aug, n_box, 1, 1), jnp.float32)], axis=3)
+            new_k = jnp.concatenate(
+                [jnp.concatenate([topleft, pp], axis=3), row3], axis=2)  # [A,n,3,3]
+
+            R = jnp.einsum(
+                'aij,njk->anik', rotflip, r_noaug_c, precision='highest')
+            new_invprojmat = jnp.linalg.inv(
+                jnp.einsum('anij,anjk->anik', new_k, R, precision='highest'))
+
+            if antialias_factor > 1:
+                scale_mat = camera_ops.corner_aligned_scale_mat(1.0 / antialias_factor)
+                new_invprojmat = jnp.einsum(
+                    'anij,jk->anik', new_invprojmat, scale_mat, precision='highest')
+
+            out_side = res * antialias_factor
+            crops = warp_ops.warp_images_with_pyramid(
+                images_lin,
+                intrinsic_matrix=jnp.tile(k_c, (num_aug, 1, 1)),
+                new_invprojmat=new_invprojmat.reshape(-1, 3, 3),
+                distortion_coeffs=jnp.tile(dist_c, (num_aug, 1)),
+                crop_scales=crop_scales.reshape(-1) * antialias_factor,
+                image_ids=jnp.tile(ids_c, (num_aug,)),
+                output_shape=(out_side, out_side))
+            if antialias_factor > 1:
+                crops = warp_ops.avg_pool_nxn(crops, antialias_factor)
+            # Per-aug gamma re-encode; cancels the earlier 2.2 decode
+            # (`multiperson_model.py:380`).
+            crops = crops ** jnp.repeat(gammas / 2.2, n_box)[:, None, None, None]
+
+            poses_flat = crop_model_fn(
+                crops.astype(jnp.dtype(cfg.dtype)), new_k.reshape(-1, 3, 3),
+                jnp.tile(valid_c, (num_aug,)))
+            poses = poses_flat.reshape(num_aug, n_box, spec.n_joints_model, 3)
+
+            # Undo the horizontal flip: reorder left/right joints
+            # (`multiperson_model.py:313-316`); the coordinate mirror itself is
+            # undone by R (which contains the flip matrix).
+            swapped = poses[:, :, jnp.asarray(mirror_mapping), :]
+            poses = jnp.where(should_flip[:, None, None, None], swapped, poses)
+
+            poses_orig_cam = jnp.einsum(
+                'anjc,anck->anjk', poses, R, precision='highest')
+            return jnp.transpose(poses_orig_cam, (1, 0, 2, 3))  # [n, A, J, 3]
+
+        chunk_inputs = (k_flat, dist_flat, boxes_flat, R_noaug, box_scales,
+                        image_ids, valid_flat)
+        boxes_per_chunk = max(internal_batch_size // max(num_aug, 1), 1)
+        if n_total <= boxes_per_chunk:
+            poses3d_flat = predict_chunk(chunk_inputs)
+        else:
+            n_chunks = -(-n_total // boxes_per_chunk)
+            pad = n_chunks * boxes_per_chunk - n_total
+            padded = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+                .reshape((n_chunks, boxes_per_chunk) + x.shape[1:]),
+                chunk_inputs)
+            poses3d_flat = jax.lax.map(predict_chunk, padded)
+            poses3d_flat = poses3d_flat.reshape(
+                (n_chunks * boxes_per_chunk,) + poses3d_flat.shape[2:])[:n_total]
+
+        if joint_transform_matrix is not None:
+            poses3d_flat = jnp.einsum(
+                'bank,nN->baNk', poses3d_flat, jnp.asarray(joint_transform_matrix),
+                precision='highest')
+
+        # 2D projection with distortion (`multiperson_model.py:181-190`).
+        poses2d_normalized = camera_ops.to_homogeneous(
+            distortion_ops.distort_points(
+                camera_ops.project(poses3d_flat),
+                dist_flat[:, jnp.newaxis, jnp.newaxis, :]))
+        poses2d_flat = jnp.einsum(
+            'bank,bjk->banj', poses2d_normalized, k_flat[:, :2, :],
+            precision='highest')
+
+        poses3d = poses3d_flat.reshape(
+            n_images, max_boxes, num_aug, spec.n_joints_out, 3)
+        poses2d = poses2d_flat.reshape(
+            n_images, max_boxes, num_aug, spec.n_joints_out, 2)
+        valid = box_valid
+
+        if suppress_implausible_poses:
+            keep = jax.vmap(
+                lambda p3, p2, bx, vl: plausibility.suppress_implausible_poses(
+                    p3, p2, bx, vl, jnp.asarray(joint2bone_mat),
+                    jnp.asarray(mean_bones)))(poses3d, poses2d, boxes, valid)
+            valid = jnp.logical_and(valid, keep)
+
+        # Camera -> world (`multiperson_model.py:207-211`).
+        inv_ext = jnp.linalg.inv(extrinsic_matrix)  # [B, 4, 4]
+        poses3d = jnp.einsum(
+            'bmank,bjk->bmanj', camera_ops.to_homogeneous(poses3d),
+            inv_ext[:, :3, :], precision='highest')
+
+        # Skeleton selection (static gather).
+        sel = jnp.asarray(np.asarray(skeleton_indices, np.int32))
+        poses3d = poses3d[..., sel, :]
+        poses2d = poses2d[..., sel, :]
+
+        if average_aug:
+            poses3d = jnp.mean(poses3d, axis=-3)
+            poses2d = jnp.mean(poses2d, axis=-3)
+
+        return dict(boxes=boxes, poses3d=poses3d, poses2d=poses2d, valid=valid)
+
+    return fn
+
+
+class PoseEstimator:
+    """Public multi-person API: `detect_poses` / `estimate_poses`, single and
+    batched — the L5 surface of SURVEY.md §1 (`multiperson_model.py:42-101,
+    465-529`), with padded+masked batching instead of ragged tensors.
+    """
+
+    def __init__(
+            self, crop_model_fn, joint_info: JointInfo, cfg: ModelConfig,
+            aug_cfg: AugConfig = AugConfig(), detector=None,
+            skeleton_registry: Optional[SkeletonRegistry] = None,
+            bone_mean_lengths: Optional[np.ndarray] = None,
+            joint_transform_matrix: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.joint_info = joint_info
+        self.detector = detector
+        self.skeletons = skeleton_registry or SkeletonRegistry(joint_info)
+        self.per_skeleton_joint_names = self.skeletons.per_skeleton_joint_names
+        self.per_skeleton_joint_edges = self.skeletons.per_skeleton_joint_edges
+        if bone_mean_lengths is None:
+            if joint_info.edges == self.skeletons.model_joint_info.edges and \
+                    len(joint_info.edges) == len(H36M_17_MEAN_BONES_MM):
+                bone_mean_lengths = H36M_17_MEAN_BONES_MM
+            else:
+                bone_mean_lengths = np.full(len(joint_info.edges), 300.0, np.float32)
+        n_out = (joint_transform_matrix.shape[1]
+                 if joint_transform_matrix is not None else joint_info.n_joints)
+        spec = EstimatorSpec(
+            cfg=cfg, aug_cfg=aug_cfg,
+            n_joints_model=joint_info.n_joints, n_joints_out=n_out)
+        self._core = estimate_poses_batched_fn(
+            crop_model_fn, spec, joint_info.mirror_mapping,
+            joint_info.joint2bone_matrix(), bone_mean_lengths,
+            joint_transform_matrix)
+        self._jitted = {}
+
+    def _get_jitted(self, **static_kwargs):
+        key = tuple(sorted(static_kwargs.items()))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(self._core, **static_kwargs))
+        return self._jitted[key]
+
+    def _prepare_camera_args(self, n_images, intrinsic_matrix, distortion_coeffs,
+                             extrinsic_matrix, world_up_vector):
+        if intrinsic_matrix is None:
+            intrinsic_matrix = np.tile(-np.ones((1, 3, 3), np.float32), (n_images, 1, 1))
+        else:
+            intrinsic_matrix = np.broadcast_to(
+                np.asarray(intrinsic_matrix, np.float32).reshape(-1, 3, 3),
+                (n_images, 3, 3))
+        if distortion_coeffs is None:
+            distortion_coeffs = np.zeros((n_images, 12), np.float32)
+        else:
+            d = np.asarray(distortion_coeffs, np.float32)
+            d = d.reshape(1, -1) if d.ndim == 1 else d
+            d = np.pad(d, ((0, 0), (0, 12 - d.shape[1])))
+            distortion_coeffs = np.broadcast_to(d, (n_images, 12))
+        if extrinsic_matrix is None:
+            extrinsic_matrix = np.broadcast_to(
+                np.eye(4, dtype=np.float32), (n_images, 4, 4))
+        else:
+            extrinsic_matrix = np.broadcast_to(
+                np.asarray(extrinsic_matrix, np.float32).reshape(-1, 4, 4),
+                (n_images, 4, 4))
+        world_up_vector = np.asarray(world_up_vector, np.float32)
+        return intrinsic_matrix, distortion_coeffs, extrinsic_matrix, world_up_vector
+
+    def estimate_poses_batched(
+            self, images, boxes, box_valid=None, intrinsic_matrix=None,
+            distortion_coeffs=None, extrinsic_matrix=None,
+            world_up_vector=(0, -1, 0), default_fov_degrees=55.0,
+            internal_batch_size=64, antialias_factor=1, num_aug=5,
+            average_aug=True, skeleton=''):
+        """images: [B, H, W, 3] uint8; boxes: [B, max_boxes, 4] (x, y, w, h).
+
+        Returns dict(boxes [B,max,5], poses3d, poses2d, valid [B,max]) with
+        the aug axis present iff average_aug=False. User-supplied boxes get
+        confidence 1.0 and are never plausibility-filtered
+        (`multiperson_model.py:89-101`, SURVEY.md §8.13).
+        """
+        boxes = np.asarray(boxes, np.float32)
+        if box_valid is None:
+            box_valid = np.ones(boxes.shape[:2], bool)
+        boxes5 = np.concatenate([boxes, np.ones_like(boxes[..., :1])], axis=-1)
+        return self._run(
+            images, boxes5, box_valid, intrinsic_matrix, distortion_coeffs,
+            extrinsic_matrix, world_up_vector, default_fov_degrees,
+            internal_batch_size, antialias_factor, num_aug, average_aug,
+            skeleton, suppress=False)
+
+    def detect_poses_batched(
+            self, images, intrinsic_matrix=None, distortion_coeffs=None,
+            extrinsic_matrix=None, world_up_vector=(0, -1, 0),
+            default_fov_degrees=55.0, internal_batch_size=64,
+            antialias_factor=1, num_aug=5, average_aug=True, skeleton='',
+            detector_threshold=0.3, detector_nms_iou_threshold=0.7,
+            max_detections=16, detector_flip_aug=False,
+            suppress_implausible_poses=True):
+        if self.detector is None:
+            raise ValueError('No detector attached to this estimator.')
+        boxes5, box_valid = self.detector.detect_batched(
+            images, threshold=detector_threshold,
+            nms_iou_threshold=detector_nms_iou_threshold,
+            max_detections=max_detections, flip_aug=detector_flip_aug)
+        return self._run(
+            images, boxes5, box_valid, intrinsic_matrix, distortion_coeffs,
+            extrinsic_matrix, world_up_vector, default_fov_degrees,
+            internal_batch_size, antialias_factor, num_aug, average_aug,
+            skeleton, suppress=suppress_implausible_poses)
+
+    def _run(self, images, boxes5, box_valid, intrinsic_matrix,
+             distortion_coeffs, extrinsic_matrix, world_up_vector,
+             default_fov_degrees, internal_batch_size, antialias_factor,
+             num_aug, average_aug, skeleton, suppress):
+        images = jnp.asarray(images)
+        n_images = images.shape[0]
+        (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+         world_up_vector) = self._prepare_camera_args(
+            n_images, intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+            world_up_vector)
+        fn = self._get_jitted(
+            num_aug=int(num_aug), average_aug=bool(average_aug),
+            antialias_factor=int(antialias_factor),
+            internal_batch_size=int(internal_batch_size),
+            skeleton_indices=tuple(int(i) for i in self.skeletons.indices(skeleton)),
+            suppress_implausible_poses=bool(suppress))
+        return fn(images, jnp.asarray(boxes5), jnp.asarray(box_valid),
+                  jnp.asarray(intrinsic_matrix), jnp.asarray(distortion_coeffs),
+                  jnp.asarray(extrinsic_matrix), jnp.asarray(world_up_vector),
+                  jnp.float32(default_fov_degrees))
+
+    # ---- single-image wrappers (`multiperson_model.py:465-529`) ----
+
+    def estimate_poses(self, image, boxes, **kwargs):
+        """Single image; returns host numpy dict compacted to valid rows."""
+        boxes = np.asarray(boxes, np.float32)
+        result = self.estimate_poses_batched(
+            jnp.asarray(image)[jnp.newaxis], boxes[np.newaxis], **kwargs)
+        return self._squeeze_single(result)
+
+    def detect_poses(self, image, **kwargs):
+        result = self.detect_poses_batched(jnp.asarray(image)[jnp.newaxis], **kwargs)
+        return self._squeeze_single(result)
+
+    @staticmethod
+    def _squeeze_single(result):
+        out = {k: np.asarray(v)[0] for k, v in result.items()}
+        valid = out.pop('valid').astype(bool)
+        return {k: v[valid] for k, v in out.items()}

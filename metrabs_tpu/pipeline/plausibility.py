@@ -1,0 +1,145 @@
+"""Pose plausibility filtering and 3D-pose non-maximum suppression.
+
+Masked fixed-shape re-design of `metrabs_tf/multiperson/plausibility_check.py`.
+Where the reference gathers plausible indices into ragged tensors and calls
+the C++ `tf.image.non_max_suppression_overlaps`, everything here operates on
+padded [n_poses] batches with validity masks and a fori_loop greedy NMS —
+static shapes throughout, so the whole filter fuses into the estimation graph
+with no recompilation as detection counts vary.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def is_pose_plausible(
+        poses: jnp.ndarray, joint2bone_mat: jnp.ndarray,
+        mean_bones: jnp.ndarray) -> jnp.ndarray:
+    """Bone-length sanity check (`plausibility_check.py:9-28`).
+
+    A pose is implausible if any bone is simultaneously way off relative
+    (<0.1x or >3x the dataset mean) AND absolutely (>300mm difference).
+    poses: [..., J, 3]; joint2bone_mat: [n_bones, J]; mean_bones: [n_bones].
+    """
+    bones = jnp.einsum('bj,...jc->...bc', joint2bone_mat, poses, precision='highest')
+    bone_lengths = jnp.linalg.norm(bones, axis=-1)
+    relative = bone_lengths / mean_bones
+    absdiff = jnp.abs(bone_lengths - mean_bones)
+    relsmall = relative < 0.1
+    relbig = relative > 3.0
+    absdiffbig = absdiff > 300.0
+    implausible = jnp.any(jnp.logical_and(jnp.logical_or(relbig, relsmall), absdiffbig),
+                          axis=-1)
+    return jnp.logical_not(implausible)
+
+
+def scale_align(poses: jnp.ndarray) -> jnp.ndarray:
+    """Rescales each pose to the group's mean RMS scale
+    (`plausibility_check.py:87-90`); poses: [..., n_items, J, 3]."""
+    square_scales = jnp.mean(jnp.square(poses), axis=(-2, -1), keepdims=True)
+    mean_square = jnp.mean(square_scales, axis=-3, keepdims=True)
+    return poses * jnp.sqrt(mean_square / square_scales)
+
+
+def point_stdev(poses: jnp.ndarray, item_axis: int, coord_axis: int) -> jnp.ndarray:
+    """Mean-over-items stdev per point (`plausibility_check.py:93-96`)."""
+    mean = jnp.mean(poses, axis=item_axis, keepdims=True)
+    var = jnp.mean(jnp.square(poses - mean), axis=item_axis, keepdims=True)
+    avg_stdev = jnp.sqrt(jnp.sum(var, axis=coord_axis, keepdims=True))
+    return jnp.squeeze(avg_stdev, (item_axis, coord_axis))
+
+
+def are_augmentation_results_consistent(poses3d: jnp.ndarray) -> jnp.ndarray:
+    """At least a quarter of joints have TTA stdev < 200mm
+    (`plausibility_check.py:42-46`). poses3d: [n_poses, num_aug, J, 3]."""
+    n_joints = poses3d.shape[-2]
+    stdevs = point_stdev(scale_align(poses3d), item_axis=-3, coord_axis=-1)
+    return jnp.sum((stdevs < 200).astype(jnp.int32), axis=-1) > (n_joints // 4)
+
+
+def is_pose_consistent_with_box(pose2d: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Intersection(pose bbox, detection box) > half the detection box area
+    (`plausibility_check.py:66-84`). pose2d: [..., J, 2]; box: [..., 4+]."""
+    posebox_start = jnp.min(pose2d, axis=-2)
+    posebox_end = jnp.max(pose2d, axis=-2)
+    box_start = box[..., :2]
+    box_end = box[..., :2] + box[..., 2:4]
+    box_area = jnp.prod(box[..., 2:4], axis=-1)
+    inter_start = jnp.maximum(box_start, posebox_start)
+    inter_end = jnp.minimum(box_end, posebox_end)
+    inter_area = jnp.prod(jax.nn.relu(inter_end - inter_start), axis=-1)
+    return inter_area > 0.5 * box_area
+
+
+def compute_pose_similarity(poses: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise scale-aligned pose similarity in [0, 1]
+    (`plausibility_check.py:49-63`): mean over the closest quarter of joints
+    of relu(1 - dist/300mm). poses: [n, J, 3] -> [n, n]."""
+    n_joints = poses.shape[-2]
+    square_scales = jnp.mean(jnp.square(poses), axis=(-2, -1), keepdims=True)  # [n,1,1]
+    s1 = square_scales[jnp.newaxis, :]   # [1, n, 1, 1]
+    s2 = square_scales[:, jnp.newaxis]   # [n, 1, 1, 1]
+    mean_sq = (s1 + s2) / 2
+    f1 = jnp.sqrt(mean_sq / s1)
+    f2 = jnp.sqrt(mean_sq / s2)
+    p1 = poses[jnp.newaxis, :]
+    p2 = poses[:, jnp.newaxis]
+    dists = jnp.linalg.norm(f1 * p1 - f2 * p2, axis=-1)  # [n, n, J]
+    k = max(n_joints // 4, 1)
+    best, _ = jax.lax.top_k(-dists, k)  # closest quarter
+    return jnp.mean(jax.nn.relu(1 + best / 300.0), axis=-1)
+
+
+def pose_non_max_suppression(
+        poses: jnp.ndarray, scores: jnp.ndarray, is_pose_valid: jnp.ndarray,
+        overlap_threshold: float = 0.4, max_output: int = 150) -> jnp.ndarray:
+    """Greedy similarity NMS returning a keep mask (`plausibility_check.py:31-39`).
+
+    Fixed-shape equivalent of tf.image.non_max_suppression_overlaps: visit
+    candidates in score order; keep a candidate if still unsuppressed, then
+    suppress everything with similarity > threshold to it. Invalid poses are
+    never kept and never suppress others.
+    """
+    n = poses.shape[0]
+    similarity = compute_pose_similarity(poses)
+    order = jnp.argsort(-jnp.where(is_pose_valid, scores, -jnp.inf))
+
+    def body(i, state):
+        alive, keep, n_kept = state
+        idx = order[i]
+        can_keep = jnp.logical_and(
+            jnp.logical_and(alive[idx], is_pose_valid[idx]),
+            n_kept < max_output)
+        keep = keep.at[idx].set(can_keep)
+        n_kept = n_kept + can_keep.astype(jnp.int32)
+        suppress = jnp.logical_and(can_keep, similarity[idx] > overlap_threshold)
+        alive = jnp.logical_and(alive, jnp.logical_not(suppress))
+        return alive, keep, n_kept
+
+    alive0 = jnp.ones((n,), bool)
+    keep0 = jnp.zeros((n,), bool)
+    alive, keep, _ = jax.lax.fori_loop(0, n, body, (alive0, keep0, jnp.int32(0)))
+    return keep
+
+
+def suppress_implausible_poses(
+        poses3d: jnp.ndarray, poses2d: jnp.ndarray, boxes: jnp.ndarray,
+        box_valid: jnp.ndarray, joint2bone_mat: jnp.ndarray,
+        mean_bones: jnp.ndarray, overlap_threshold: float = 0.4,
+        max_output: int = 150) -> jnp.ndarray:
+    """Full filter of `multiperson_model.py:441-459` on one image's padded
+    pose set. poses3d: [n, num_aug, J, 3]; poses2d: [n, num_aug, J, 2];
+    boxes: [n, 5]. Returns the final keep mask [n]."""
+    poses3d_mean = jnp.mean(poses3d, axis=-3)
+    poses2d_mean = jnp.mean(poses2d, axis=-3)
+    plausible = jnp.logical_and(
+        jnp.logical_and(
+            is_pose_plausible(poses3d_mean, joint2bone_mat, mean_bones),
+            are_augmentation_results_consistent(poses3d)),
+        is_pose_consistent_with_box(poses2d_mean, boxes))
+    plausible = jnp.logical_and(plausible, box_valid)
+    return pose_non_max_suppression(
+        poses3d_mean, boxes[..., 4], plausible, overlap_threshold, max_output)

@@ -1,0 +1,158 @@
+"""Integration tests of the fused multi-person pipeline with a tiny backbone.
+
+The reference has no tests at all (SURVEY.md §4); these check the pipeline
+invariants that don't require trained weights: shape/dtype contracts, masking
+semantics, internal-batch chunking equivalence, TTA axis handling, skeleton
+selection and the num_aug=1 midpoint quirk.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metrabs_tpu.config import AugConfig, ModelConfig
+from metrabs_tpu.models.backbones.tiny import TinyBackbone
+from metrabs_tpu.models.metrabs import Metrabs
+from metrabs_tpu.pipeline import tta
+from metrabs_tpu.pipeline.estimator import PoseEstimator
+from metrabs_tpu.pipeline.skeletons import H36M_17, SkeletonRegistry
+
+CFG = ModelConfig(proc_side=64, stride_train=32, stride_test=32, depth=4,
+                  n_joints=17, dtype='float32')
+
+
+@pytest.fixture(scope='module')
+def estimator():
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.eye(3)[jnp.newaxis])
+
+    def crop_model_fn(crops, intrinsics, sample_valid):
+        return model.apply(params, crops, intrinsics, train=False,
+                           sample_valid=sample_valid)
+
+    return PoseEstimator(crop_model_fn, H36M_17, CFG)
+
+
+@pytest.fixture(scope='module')
+def test_data():
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+    boxes = np.array([
+        [[10, 10, 50, 70], [60, 5, 40, 80], [0, 0, 0, 0]],
+        [[20, 20, 60, 60], [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32)
+    box_valid = np.array([[True, True, False], [True, False, False]])
+    return images, boxes, box_valid
+
+
+def test_output_shapes_averaged(estimator, test_data):
+    images, boxes, box_valid = test_data
+    out = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=2, average_aug=True)
+    assert out['poses3d'].shape == (2, 3, 17, 3)
+    assert out['poses2d'].shape == (2, 3, 17, 2)
+    assert out['boxes'].shape == (2, 3, 5)
+    assert out['valid'].shape == (2, 3)
+    p3 = np.asarray(out['poses3d'])
+    valid = np.asarray(out['valid'])
+    assert np.all(np.isfinite(p3[valid]))
+
+
+def test_output_shapes_unaveraged(estimator, test_data):
+    images, boxes, box_valid = test_data
+    out = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=3, average_aug=False)
+    assert out['poses3d'].shape == (2, 3, 3, 17, 3)
+    assert out['poses2d'].shape == (2, 3, 3, 17, 2)
+
+
+def test_chunking_equivalence(estimator, test_data):
+    """internal_batch_size must not change results
+    (`multiperson_model.py:241-290` chunking is purely a memory knob)."""
+    images, boxes, box_valid = test_data
+    out_big = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=2, internal_batch_size=64)
+    out_small = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=2, internal_batch_size=2)
+    np.testing.assert_allclose(
+        np.asarray(out_big['poses3d']), np.asarray(out_small['poses3d']),
+        rtol=2e-3, atol=2e-1)
+
+
+def test_invalid_boxes_do_not_affect_valid(estimator, test_data):
+    """Padding boxes must not change valid results (mask discipline)."""
+    images, boxes, box_valid = test_data
+    out1 = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1)
+    boxes_alt = boxes.copy()
+    boxes_alt[0, 2] = [999, 999, 5, 5]  # garbage in an invalid slot
+    boxes_alt[1, 1] = [-50, -50, 1, 1]
+    out2 = estimator.estimate_poses_batched(
+        images, boxes_alt, box_valid, num_aug=1)
+    p1, p2 = np.asarray(out1['poses3d']), np.asarray(out2['poses3d'])
+    valid = np.asarray(out1['valid'])
+    np.testing.assert_allclose(p1[valid], p2[valid], rtol=1e-5, atol=1e-3)
+
+
+def test_skeleton_selection(estimator, test_data):
+    images, boxes, box_valid = test_data
+    out_full = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1, skeleton='')
+    out_h36m = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1, skeleton='h36m_17')
+    # Model joints ARE h36m_17 here, so selection is identity.
+    np.testing.assert_allclose(
+        np.asarray(out_full['poses3d']), np.asarray(out_h36m['poses3d']), atol=1e-6)
+    assert estimator.per_skeleton_joint_names['h36m_17'][0] == 'pelv'
+
+
+def test_single_image_wrapper_compacts(estimator, test_data):
+    images, boxes, box_valid = test_data
+    out = estimator.estimate_poses(images[0], boxes[0][:2], num_aug=1)
+    assert out['poses3d'].shape == (2, 17, 3)
+    assert out['poses2d'].shape == (2, 17, 2)
+
+
+def test_world_space_output(estimator, test_data):
+    """A camera 2m up looking the same way shifts world poses by +2000mm in y
+    (with y-down camera convention and default up)."""
+    images, boxes, box_valid = test_data
+    extr = np.eye(4, dtype=np.float32)
+    extr[1, 3] = -2000.0  # world point (0, 2000, 0) -> camera origin
+    out_cam = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1)
+    out_world = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1,
+        extrinsic_matrix=np.tile(extr[None], (2, 1, 1)))
+    p_cam = np.asarray(out_cam['poses3d'])
+    p_world = np.asarray(out_world['poses3d'])
+    valid = np.asarray(out_cam['valid'])
+    np.testing.assert_allclose(
+        p_world[valid][..., 1], p_cam[valid][..., 1] + 2000.0, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        p_world[valid][..., 0], p_cam[valid][..., 0], rtol=1e-4, atol=1e-2)
+
+
+def test_num_aug_one_midpoint_quirk():
+    """num_aug=1 uses the midpoints: gamma 0.8, angle 0, scale 1.05, no flip
+    (SURVEY.md §8.2)."""
+    params = tta.make_tta_params(1, AugConfig())
+    np.testing.assert_allclose(params.gammas, [0.8], atol=1e-6)
+    np.testing.assert_allclose(params.angles, [0.0], atol=1e-6)
+    np.testing.assert_allclose(params.scales, [1.05], atol=1e-6)
+    assert not params.should_flip[0]
+
+
+def test_tta_five_aug_schedule():
+    params = tta.make_tta_params(5, AugConfig(rot_aug_degrees=25))
+    np.testing.assert_allclose(params.gammas, np.linspace(0.6, 1.0, 5), atol=1e-6)
+    np.testing.assert_allclose(
+        params.angles, np.deg2rad(np.linspace(-25, 25, 5)), atol=1e-6)
+    # scales: [0.8, 0.9] (endpoint=False) + [1.0, 1.05, 1.1]
+    np.testing.assert_allclose(params.scales, [0.8, 0.9, 1.0, 1.05, 1.1], atol=1e-6)
+    # flips alternate: (i - 2) % 2 != 0 -> [False, True, False, True, False]
+    # (the center aug is unflipped, `multiperson_model.py:164`)
+    np.testing.assert_array_equal(
+        params.should_flip, [False, True, False, True, False])
