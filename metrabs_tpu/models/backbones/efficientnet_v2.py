@@ -1,0 +1,338 @@
+"""EfficientNetV2 backbones (S/M/L/XL + dilated -stride4/8/16 variants).
+
+From-scratch flax implementation with the architecture semantics of the
+reference's google/automl fork (`metrabs_tf/backbones/efficientnet/`):
+ - MBConv / FusedMBConv blocks with SE (reduction from BLOCK INPUT filters),
+   silu activations, BN momentum 0.9 / eps 1e-3
+   (`effnetv2_hparams.py:226-235`, `effnetv2_model.py:97-420`);
+ - explicit fixed padding before every spatial conv (VALID convs), with the
+   `br` bottom-right shift on the last stride-2 block for centered-stride
+   alignment (`effnetv2_model.py:296-299`, `effnetv2_configs.py:155-247`);
+ - `-strideN` variants replace late strides with dilations (din/dout per
+   stage) to raise feature resolution without memory blowup;
+ - stochastic depth with linearly decaying survival probability.
+
+TPU notes: all convs run in bfloat16 with float32 params; XLA maps the
+1x1/3x3 convs onto the MXU directly. The final stride-32 feature map at
+384px input is 12x12x1280 — the head 1x1 conv feeding MetrabsHeads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from metrabs_tpu.models.backbones import common
+
+BN_MOMENTUM = 0.9
+BN_EPSILON = 1e-3
+SURVIVAL_PROB = 0.8
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockArgs:
+    num_repeat: int
+    kernel_size: int
+    strides: int
+    dilation_in: int
+    dilation_out: int
+    expand_ratio: int
+    input_filters: int
+    output_filters: int
+    se_ratio: Optional[float]
+    conv_type: int  # 0 = MBConv, 1 = Fused
+    bottomright_stride: bool
+
+
+def decode_block_string(s: str) -> BlockArgs:
+    """Decodes 'r2_k3_s1_din1_dout1_e4_i24_o48_c1[_se0.25][_br]' strings
+    (the reference's BlockDecoder grammar, `effnetv2_configs.py:33-100`)."""
+    parts = s.split('_')
+    opts = {}
+    flags = set()
+    for p in parts:
+        m = re.match(r'([a-z]+)([\d.]+)$', p)
+        if m:
+            opts[m.group(1)] = m.group(2)
+        else:
+            flags.add(p)
+    return BlockArgs(
+        num_repeat=int(opts['r']),
+        kernel_size=int(opts['k']),
+        strides=int(opts['s']),
+        dilation_in=int(opts.get('din', 1)),
+        dilation_out=int(opts.get('dout', 1)),
+        expand_ratio=int(opts['e']),
+        input_filters=int(opts['i']),
+        output_filters=int(opts['o']),
+        se_ratio=float(opts['se']) if 'se' in opts else None,
+        conv_type=int(opts.get('c', 0)),
+        bottomright_stride='br' in flags)
+
+
+# Stage tables transcribed from `effnetv2_configs.py:155-247`.
+_V2_S = ['r2_k3_s1_din1_dout1_e1_i24_o24_c1',
+         'r4_k3_s2_din1_dout1_e4_i24_o48_c1',
+         'r4_k3_s2_din1_dout1_e4_i48_o64_c1',
+         'r6_k3_s2_din1_dout1_e4_i64_o128_se0.25',
+         'r9_k3_s1_din1_dout1_e6_i128_o160_se0.25',
+         'r15_k3_s2_din1_dout1_e6_i160_o256_se0.25_br']
+_V2_S_STRIDE16 = ['r2_k3_s1_din1_dout1_e1_i24_o24_c1',
+                  'r4_k3_s2_din1_dout1_e4_i24_o48_c1',
+                  'r4_k3_s2_din1_dout1_e4_i48_o64_c1',
+                  'r6_k3_s2_din1_dout1_e4_i64_o128_se0.25_br',
+                  'r9_k3_s1_din1_dout1_e6_i128_o160_se0.25',
+                  'r15_k3_s1_din1_dout2_e6_i160_o256_se0.25']
+_V2_S_STRIDE8 = ['r2_k3_s1_din1_dout1_e1_i24_o24_c1',
+                 'r4_k3_s2_din1_dout1_e4_i24_o48_c1',
+                 'r4_k3_s2_din1_dout1_e4_i48_o64_c1_br',
+                 'r6_k3_s1_din1_dout2_e4_i64_o128_se0.25',
+                 'r9_k3_s1_din2_dout2_e6_i128_o160_se0.25',
+                 'r15_k3_s1_din2_dout4_e6_i160_o256_se0.25']
+_V2_S_STRIDE4 = ['r2_k3_s1_din1_dout1_e1_i24_o24_c1',
+                 'r4_k3_s2_din1_dout1_e4_i24_o48_c1_br',
+                 'r4_k3_s1_din1_dout2_e4_i48_o64_c1',
+                 'r6_k3_s1_din2_dout4_e4_i64_o128_se0.25',
+                 'r9_k3_s1_din4_dout4_e6_i128_o160_se0.25',
+                 'r15_k3_s1_din4_dout8_e6_i160_o256_se0.25']
+_V2_M = ['r3_k3_s1_din1_dout1_e1_i24_o24_c1',
+         'r5_k3_s2_din1_dout1_e4_i24_o48_c1',
+         'r5_k3_s2_din1_dout1_e4_i48_o80_c1',
+         'r7_k3_s2_din1_dout1_e4_i80_o160_se0.25',
+         'r14_k3_s1_din1_dout1_e6_i160_o176_se0.25',
+         'r18_k3_s2_din1_dout1_e6_i176_o304_se0.25_br',
+         'r5_k3_s1_din1_dout1_e6_i304_o512_se0.25']
+_V2_L = ['r4_k3_s1_din1_dout1_e1_i32_o32_c1',
+         'r7_k3_s2_din1_dout1_e4_i32_o64_c1',
+         'r7_k3_s2_din1_dout1_e4_i64_o96_c1',
+         'r10_k3_s2_din1_dout1_e4_i96_o192_se0.25',
+         'r19_k3_s1_din1_dout1_e6_i192_o224_se0.25',
+         'r25_k3_s2_din1_dout1_e6_i224_o384_se0.25_br',
+         'r7_k3_s1_din1_dout1_e6_i384_o640_se0.25']
+_V2_L_STRIDE16 = ['r4_k3_s1_din1_dout1_e1_i32_o32_c1',
+                  'r7_k3_s2_din1_dout1_e4_i32_o64_c1',
+                  'r7_k3_s2_din1_dout1_e4_i64_o96_c1',
+                  'r10_k3_s2_din1_dout1_e4_i96_o192_se0.25_br',
+                  'r19_k3_s1_din1_dout1_e6_i192_o224_se0.25',
+                  'r25_k3_s1_din1_dout2_e6_i224_o384_se0.25',
+                  'r7_k3_s1_din2_dout2_e6_i384_o640_se0.25']
+_V2_L_STRIDE8 = ['r4_k3_s1_din1_dout1_e1_i32_o32_c1',
+                 'r7_k3_s2_din1_dout1_e4_i32_o64_c1',
+                 'r7_k3_s2_din1_dout1_e4_i64_o96_c1_br',
+                 'r10_k3_s1_din1_dout2_e4_i96_o192_se0.25',
+                 'r19_k3_s1_din2_dout2_e6_i192_o224_se0.25',
+                 'r25_k3_s1_din2_dout4_e6_i224_o384_se0.25',
+                 'r7_k3_s1_din4_dout4_e6_i384_o640_se0.25']
+_V2_L_STRIDE4 = ['r4_k3_s1_din1_dout1_e1_i32_o32_c1',
+                 'r7_k3_s2_din1_dout1_e4_i32_o64_c1_br',
+                 'r7_k3_s1_din1_dout2_e4_i64_o96_c1',
+                 'r10_k3_s1_din2_dout4_e4_i96_o192_se0.25',
+                 'r19_k3_s1_din4_dout4_e6_i192_o224_se0.25',
+                 'r25_k3_s1_din4_dout8_e6_i224_o384_se0.25',
+                 'r7_k3_s1_din8_dout8_e6_i384_o640_se0.25']
+_V2_XL = ['r4_k3_s1_din1_dout1_e1_i32_o32_c1',
+          'r8_k3_s2_din1_dout1_e4_i32_o64_c1',
+          'r8_k3_s2_din1_dout1_e4_i64_o96_c1',
+          'r16_k3_s2_din1_dout1_e4_i96_o192_se0.25',
+          'r24_k3_s1_din1_dout1_e6_i192_o256_se0.25',
+          'r32_k3_s2_din1_dout1_e6_i256_o512_se0.25_br',
+          'r8_k3_s1_din1_dout1_e6_i512_o640_se0.25']
+
+# name -> (stage strings, width_coefficient, depth_coefficient)
+EFFNETV2_PARAMS = {
+    'efficientnetv2-s': (_V2_S, 1.0, 1.0),
+    'efficientnetv2-s-stride4': (_V2_S_STRIDE4, 1.0, 1.0),
+    'efficientnetv2-s-stride8': (_V2_S_STRIDE8, 1.0, 1.0),
+    'efficientnetv2-s-stride16': (_V2_S_STRIDE16, 1.0, 1.0),
+    'efficientnetv2-m': (_V2_M, 1.0, 1.0),
+    'efficientnetv2-l': (_V2_L, 1.0, 1.0),
+    'efficientnetv2-l-stride4': (_V2_L_STRIDE4, 1.0, 1.0),
+    'efficientnetv2-l-stride8': (_V2_L_STRIDE8, 1.0, 1.0),
+    'efficientnetv2-l-stride16': (_V2_L_STRIDE16, 1.0, 1.0),
+    'efficientnetv2-xl': (_V2_XL, 1.0, 1.0),
+}
+
+
+def round_filters(filters: float, width_coefficient: float,
+                  divisor: int = 8, min_depth: int = 8) -> int:
+    if not width_coefficient:
+        return int(filters)
+    filters *= width_coefficient
+    new_filters = max(min_depth, int(filters + divisor / 2) // divisor * divisor)
+    return int(new_filters)
+
+
+def round_repeats(repeats: int, depth_coefficient: float) -> int:
+    return int(math.ceil(depth_coefficient * repeats))
+
+
+def expand_blocks(model_name: str) -> List[BlockArgs]:
+    """Expands stage strings into one BlockArgs per layer, applying the
+    first-block-carries-stride rule (`effnetv2_model.py:574-600`)."""
+    stage_strings, width, depth = EFFNETV2_PARAMS[model_name]
+    blocks = []
+    for s in stage_strings:
+        args = decode_block_string(s)
+        in_f = round_filters(args.input_filters, width)
+        out_f = round_filters(args.output_filters, width)
+        repeats = round_repeats(args.num_repeat, depth)
+        first = dataclasses.replace(
+            args, input_filters=in_f, output_filters=out_f, num_repeat=1,
+            dilation_in=args.dilation_in, dilation_out=args.dilation_out)
+        blocks.append(first)
+        rest = dataclasses.replace(
+            first, input_filters=out_f, strides=1, bottomright_stride=False,
+            dilation_in=args.dilation_out)
+        blocks.extend([rest] * (repeats - 1))
+    return blocks
+
+
+class SqueezeExcite(nn.Module):
+    se_filters: int
+    output_filters: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.Conv(self.se_filters, (1, 1), use_bias=True, dtype=self.dtype,
+                     param_dtype=jnp.float32, name='reduce')(se)
+        se = nn.silu(se)
+        se = nn.Conv(self.output_filters, (1, 1), use_bias=True, dtype=self.dtype,
+                     param_dtype=jnp.float32, name='expand')(se)
+        return jnp.asarray(nn.sigmoid(se), x.dtype) * x
+
+
+class MBConv(nn.Module):
+    args: BlockArgs
+    survival_prob: float
+    ghost_splits: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = self.args
+        inputs = x
+        filters = a.input_filters * a.expand_ratio
+        bn = lambda name: common.batch_norm(
+            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+        if a.expand_ratio != 1:
+            x = nn.Conv(filters, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name='expand_conv')(x)
+            x = nn.silu(bn('norm0')(x, train))
+        shift = 1 if a.bottomright_stride else 0
+        pads = common.fixed_padding_amounts(a.kernel_size, a.dilation_in, shift)
+        x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+        x = nn.Conv(
+            filters, (a.kernel_size, a.kernel_size),
+            strides=(a.strides, a.strides),
+            kernel_dilation=(a.dilation_in, a.dilation_in),
+            feature_group_count=filters, padding='VALID', use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name='depthwise_conv')(x)
+        x = nn.silu(bn('norm1')(x, train))
+        if a.se_ratio:
+            se_filters = max(1, int(a.input_filters * a.se_ratio))
+            x = SqueezeExcite(se_filters, filters, dtype=self.dtype, name='se')(x)
+        x = nn.Conv(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name='project_conv')(x)
+        x = bn('norm2')(x, train)
+        if a.strides == 1 and a.input_filters == a.output_filters:
+            rng = self.make_rng('dropout') if (
+                train and self.survival_prob < 1.0) else None
+            x = common.stochastic_depth(inputs, x, self.survival_prob, train, rng)
+        return x
+
+
+class FusedMBConv(nn.Module):
+    args: BlockArgs
+    survival_prob: float
+    ghost_splits: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = self.args
+        inputs = x
+        filters = a.input_filters * a.expand_ratio
+        bn = lambda name: common.batch_norm(
+            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+        shift = 1 if a.bottomright_stride else 0
+        pads = common.fixed_padding_amounts(a.kernel_size, a.dilation_in, shift)
+        if a.expand_ratio != 1:
+            x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+            x = nn.Conv(
+                filters, (a.kernel_size, a.kernel_size),
+                strides=(a.strides, a.strides),
+                kernel_dilation=(a.dilation_in, a.dilation_in),
+                padding='VALID', use_bias=False, dtype=self.dtype,
+                param_dtype=jnp.float32, name='expand_conv')(x)
+            x = nn.silu(bn('norm0')(x, train))
+        if a.se_ratio:
+            se_filters = max(1, int(a.input_filters * a.se_ratio))
+            x = SqueezeExcite(se_filters, filters, dtype=self.dtype, name='se')(x)
+        if a.expand_ratio == 1:
+            x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+        x = nn.Conv(
+            a.output_filters,
+            (1, 1) if a.expand_ratio != 1 else (a.kernel_size, a.kernel_size),
+            strides=(1, 1) if a.expand_ratio != 1 else (a.strides, a.strides),
+            kernel_dilation=((1, 1) if a.expand_ratio != 1
+                             else (a.dilation_in, a.dilation_in)),
+            padding='VALID', use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name='project_conv')(x)
+        x = bn('norm1')(x, train)
+        if a.expand_ratio == 1:
+            x = nn.silu(x)
+        if a.strides == 1 and a.input_filters == a.output_filters:
+            rng = self.make_rng('dropout') if (
+                train and self.survival_prob < 1.0) else None
+            x = common.stochastic_depth(inputs, x, self.survival_prob, train, rng)
+        return x
+
+
+class EfficientNetV2(nn.Module):
+    """[N, S, S, 3] gamma-space [0,1] RGB -> [N, S/32, S/32, 1280] features
+    (or higher resolution for -strideN variants)."""
+
+    model_name: str = 'efficientnetv2-s'
+    ghost_splits: int = 1
+    dtype: Any = jnp.bfloat16
+    feature_size: int = 1280
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        blocks = expand_blocks(self.model_name)
+        x = common.tf_preproc(x.astype(self.dtype))
+
+        # Stem: fixed pad + VALID 3x3 s2 (`effnetv2_model.py:440-468`).
+        pads = common.fixed_padding_amounts(3)
+        h = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+        h = nn.Conv(blocks[0].input_filters, (3, 3), strides=(2, 2),
+                    padding='VALID', use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name='stem_conv')(h)
+        h = common.batch_norm(
+            BN_MOMENTUM, BN_EPSILON, self.dtype, 'stem_bn', self.ghost_splits)(
+            h, train)
+        h = nn.silu(h)
+
+        n_blocks = len(blocks)
+        for idx, args in enumerate(blocks):
+            drop_rate = 1.0 - SURVIVAL_PROB
+            survival = 1.0 - drop_rate * float(idx) / n_blocks
+            cls = FusedMBConv if args.conv_type == 1 else MBConv
+            h = cls(args=args, survival_prob=survival,
+                    ghost_splits=self.ghost_splits, dtype=self.dtype,
+                    name=f'blocks_{idx}')(h, train=train)
+
+        # Head: 1x1 conv to feature_size (`effnetv2_model.py:469-532`).
+        h = nn.Conv(self.feature_size, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name='head_conv')(h)
+        h = common.batch_norm(
+            BN_MOMENTUM, BN_EPSILON, self.dtype, 'head_bn', self.ghost_splits)(
+            h, train)
+        return nn.silu(h)

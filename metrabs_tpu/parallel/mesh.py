@@ -1,0 +1,54 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is single-node data parallelism via
+MirroredStrategy + ReductionToOneDevice (`metrabs_tf/main.py:160-163`,
+SURVEY.md §2.10). The TPU-native equivalent: one `jax.sharding.Mesh` over the
+ICI, batch axes sharded over 'data', parameters replicated, gradient
+all-reduce inserted by XLA as psum over ICI. Multi-host extends the same mesh
+over DCN via `jax.distributed.initialize` (no code change here — the mesh
+just spans more devices).
+
+A second 'model' mesh axis is exposed for sharding the head's output channels
+(the (1+depth)*J conv — the widest matmul in the network) when a single
+batch element must be split across chips; the reference has no analogous
+mechanism (it is pure DP), so 'model'=1 is the parity configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Places every array in the tree with its leading axis sharded."""
+    return jax.device_put(tree, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,126 @@
+"""Training state and the jitted/shardable train step.
+
+TPU-native replacement for the reference's fleras `ModelTrainer.fit_epochless`
+loop (`metrabs_tf/main.py:140-145`, `models/metrabs.py:144-225`): one pure
+`train_step(state, batch3d, batch2d, rng) -> (state, losses)` function,
+jit-compiled with batch axes sharded over the mesh's 'data' axis and state
+replicated. Gradient all-reduce is implicit (XLA psum over ICI); ghost-BN
+(per-shard batch statistics) comes from the backbone's GhostBatchNorm when
+its splits align with the data shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from metrabs_tpu.config import ModelConfig, TrainConfig
+from metrabs_tpu.train import losses as losses_mod
+from metrabs_tpu.train import optim
+from metrabs_tpu.utils.joint_info import JointInfo
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def create_train_state(model, tx, rng, cfg: ModelConfig,
+                       sample_batch_size: int = 2) -> TrainState:
+    dummy_img = jnp.zeros(
+        (sample_batch_size, cfg.proc_side, cfg.proc_side, 3),
+        jnp.dtype(cfg.dtype))
+    dummy_k = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
+                       (sample_batch_size, 1, 1))
+    variables = model.init({'params': rng}, dummy_img, dummy_k, train=False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
+        opt_state=tx.init(params), ema_params=params)
+
+
+def make_train_step(
+        model, tx, joint_info3d: JointInfo, joint_info2d: JointInfo,
+        cfg: ModelConfig, tcfg: TrainConfig) -> Callable:
+    """Builds the pure train step.
+
+    batch3d: image [n,S,S,3], intrinsics [n,3,3], coords3d_true [n,J,3],
+             joint_validity_mask [n,J]
+    batch2d: image [m,S,S,3], intrinsics [m,3,3], coords2d_true [m,J2,2],
+             joint_validity_mask [m,J2]
+    The two streams are concatenated and run through the backbone+head
+    together (`models/metrabs.py:156-212`).
+    """
+    index_groups = losses_mod.get_2d_joint_index_groups(joint_info3d, joint_info2d)
+
+    def train_step(state: TrainState, batch3d: Dict, batch2d: Dict,
+                   rng: jax.Array) -> Tuple[TrainState, Dict]:
+        rng_mix, rng_dropout = jax.random.split(rng)
+        n3 = batch3d['image'].shape[0]
+
+        image_both = jnp.concatenate(
+            [batch3d['image'], batch2d['image']], axis=0).astype(
+            jnp.dtype(cfg.dtype))
+        intr_both = jnp.concatenate(
+            [batch3d['intrinsics'], batch2d['intrinsics']], axis=0)
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            (features, head2d, head3d), mutated = model.apply(
+                variables, image_both, train=True,
+                method=model.backbone_and_head,
+                mutable=['batch_stats'], rngs={'dropout': rng_dropout})
+
+            # Random 2D/3D mixing factor during training
+            # (`models/metrabs.py:165-167`).
+            mix = jax.random.uniform(rng_mix, (image_both.shape[0], 1, 1))
+            coords_abs_both = losses_mod.reconstruct_absolute_trainmode(
+                head2d, head3d, intr_both, mix, state.step, cfg=cfg)
+
+            preds_abs = coords_abs_both[:n3]
+            preds_abs_2d = coords_abs_both[n3:]
+            losses = losses_mod.compute_losses(
+                preds_abs, preds_abs_2d, batch3d, batch2d, index_groups,
+                cfg=cfg, tcfg=tcfg, step=state.step)
+            return losses['loss'], (mutated, losses)
+
+        grads, (mutated, losses) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = optim.ema_update(state.ema_params, new_params, tcfg.ema_momentum)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=mutated.get('batch_stats', state.batch_stats),
+            opt_state=new_opt_state, ema_params=new_ema)
+        return new_state, losses
+
+    return train_step
+
+
+def make_sharded_train_step(train_step, mesh):
+    """jit the train step with batches sharded over the mesh's data axis and
+    state replicated; XLA inserts the gradient psum over ICI."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+
+    def shard_tree(tree, sharding):
+        return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl))

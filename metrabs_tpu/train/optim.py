@@ -1,0 +1,111 @@
+"""Optimizer and LR schedules (optax re-design of `metrabs_tf/main.py:196-283`).
+
+The reference builds: Adam(+decoupled weight decay scaled by
+wd / sqrt(total_steps) / base_lr, eps 1e-8) with a two-phase exponential-decay
+LR, optionally wrapped in gradient accumulation, EMA (Polyak) weight
+averaging and float16 loss scaling. Here the same chain is optax:
+ - adamw with the identical effective decay;
+ - optax.MultiSteps for accumulation;
+ - an EMA of params tracked alongside (used for eval/export);
+ - loss scaling is unnecessary in bfloat16 on TPU (grads are f32), so it is
+   intentionally omitted — the reference needed it only for float16 GPUs.
+Dual-LR fine-tuning (`build_multi_optimizer`) maps to optax.multi_transform
+with a backbone/head partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from metrabs_tpu.config import TrainConfig
+
+
+def lr_schedule(tcfg: TrainConfig) -> Callable:
+    """Two-phase exponential decay (`main.py:241-256`): decay to 1/3 over the
+    first 92% of training, then from base/30 with decay rate 0.3 over the
+    remaining 8%."""
+    total = tcfg.training_steps
+    n1 = 0.92 * total
+    n2 = total - n1
+    b = tcfg.base_learning_rate
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        phase1 = b * (1 / 3) ** (step / n1)
+        phase2 = (b / 30) * 0.3 ** ((step - n1) / n2)
+        return jnp.where(step < n1, phase1, phase2)
+
+    return schedule
+
+
+def lr_schedule_finetune_high(tcfg: TrainConfig) -> Callable:
+    """Head LR for dual-LR fine-tuning (`main.py:258-273`): phase switch at
+    50% of training."""
+    total = tcfg.training_steps
+    n1 = 0.5 * total
+    n2 = total - n1
+    b = tcfg.base_learning_rate
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        phase1 = b * (1 / 3) ** (step / n1)
+        phase2 = (b / 30) * 0.3 ** ((step - n1) / n2)
+        return jnp.where(step < n1, phase1, phase2)
+
+    return schedule
+
+
+def lr_schedule_finetune_low(tcfg: TrainConfig) -> Callable:
+    """Backbone LR for dual-LR fine-tuning (`main.py:276-283`)."""
+    total = tcfg.training_steps
+    b = tcfg.base_learning_rate
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        return (b / 30) * 0.3 ** (step / total)
+
+    return schedule
+
+
+def _adam(tcfg: TrainConfig, schedule: Callable) -> optax.GradientTransformation:
+    weight_decay = (tcfg.weight_decay / np.sqrt(tcfg.training_steps)
+                    / tcfg.base_learning_rate)
+    return optax.adamw(
+        learning_rate=schedule, eps=1e-8, weight_decay=weight_decay)
+
+
+def build_optimizer(
+        tcfg: TrainConfig,
+        backbone_path: str = 'backbone') -> optax.GradientTransformation:
+    """The full optimizer chain. With dual_finetune_lr, parameters under
+    `backbone_path` get the low schedule, everything else the high one."""
+    if tcfg.dual_finetune_lr:
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: 'backbone' if any(
+                    getattr(k, 'key', None) == backbone_path for k in path)
+                else 'heads', params)
+
+        tx = optax.multi_transform(
+            {'backbone': _adam(tcfg, lr_schedule_finetune_low(tcfg)),
+             'heads': _adam(tcfg, lr_schedule_finetune_high(tcfg))},
+            label_fn)
+    else:
+        tx = _adam(tcfg, lr_schedule(tcfg))
+
+    if tcfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum_steps)
+    return tx
+
+
+def ema_update(ema_params, new_params, momentum: float):
+    """Polyak averaging of parameters (`ema_momentum`; 1 disables)."""
+    if momentum >= 1.0:
+        return new_params
+    return jax.tree_util.tree_map(
+        lambda e, p: momentum * e + (1.0 - momentum) * p, ema_params, new_params)

@@ -1,0 +1,92 @@
+"""Backbone shape/param-structure tests (CPU, small inputs, float32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metrabs_tpu.models.backbones.builder import build_backbone
+
+
+def _init_and_run(name, size=64, train=False):
+    bb = build_backbone(name, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, size, size, 3)),
+                    jnp.float32)
+    variables = bb.init({'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+                        x, train=False)
+    y = bb.apply(variables, x, train=False)
+    return y, variables
+
+
+@pytest.mark.parametrize('name,channels', [
+    ('mobilenetv3-small', 1024),
+    ('mobilenetv3-large', 1280),
+])
+def test_mobilenet_output_shape(name, channels):
+    y, _ = _init_and_run(name, size=64)
+    assert y.shape == (2, 2, 2, channels)
+
+
+def test_efficientnetv2_s_output_shape():
+    y, _ = _init_and_run('efficientnetv2-s', size=64)
+    assert y.shape == (2, 2, 2, 1280)
+
+
+def test_efficientnetv2_stride16_resolution():
+    y, _ = _init_and_run('efficientnetv2-s-stride16', size=64)
+    assert y.shape == (2, 4, 4, 1280)
+
+
+@pytest.mark.parametrize('name,channels', [
+    ('resnet18', 512),
+    ('resnet50', 2048),
+    ('resnet50v2', 2048),
+    ('resnet50v1-5', 2048),
+])
+def test_resnet_output_shapes(name, channels):
+    y, _ = _init_and_run(name, size=64)
+    assert y.shape == (2, 2, 2, channels)
+
+
+def test_resnet_stride16():
+    y, _ = _init_and_run('resnet18-stride16', size=64)
+    assert y.shape == (2, 4, 4, 512)
+
+
+def test_finite_outputs():
+    y, _ = _init_and_run('efficientnetv2-s', size=64)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_effnet_param_count_matches_family():
+    # EffNetV2-S should have ~20.3M backbone params (without classifier).
+    _, variables = _init_and_run('efficientnetv2-s', size=64)
+    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables['params']))
+    assert 19e6 < n < 22e6, n
+
+
+def test_resnet50_param_count():
+    # ResNet-50 feature extractor is ~23.5M params.
+    _, variables = _init_and_run('resnet50', size=64)
+    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables['params']))
+    assert 22e6 < n < 26e6, n
+
+
+def test_mobilenet_small_param_count():
+    # MobileNetV3-Small feature extractor is ~1.5M params (no top).
+    _, variables = _init_and_run('mobilenetv3-small', size=64)
+    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables['params']))
+    assert 1.2e6 < n < 2.2e6, n
+
+
+def test_batch_stats_updated_in_train_mode():
+    bb = build_backbone('mobilenetv3-small', dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(4, 64, 64, 3)),
+                    jnp.float32)
+    variables = bb.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+    y, mutated = bb.apply(
+        variables, x, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(2)})
+    old = jax.tree_util.tree_leaves(variables['batch_stats'])
+    new = jax.tree_util.tree_leaves(mutated['batch_stats'])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))

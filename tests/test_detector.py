@@ -1,0 +1,88 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metrabs_tpu.detect import yolov4
+
+
+def test_decode_head_grid_alignment():
+    # Raw zeros: sigmoid(0)=0.5 -> xy = (0.5*s - 0.5(s-1) + grid) * stride,
+    # wh = anchors.
+    gh = gw = 2
+    raw = np.zeros((1, gh, gw, 3 * 85), np.float32)
+    out = np.asarray(yolov4.decode_head(jnp.asarray(raw), 0, 416))
+    assert out.shape == (1, gh * gw * 3, 85)
+    s = yolov4.XYSCALE[0]
+    expected_xy0 = (0.5 * s - 0.5 * (s - 1)) * yolov4.STRIDES[0]
+    np.testing.assert_allclose(out[0, 0, :2], [expected_xy0, expected_xy0], atol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 2:4], yolov4.ANCHORS[0][0], atol=1e-4)
+    # anchor index cycles fastest, then grid x, then grid y
+    np.testing.assert_allclose(
+        out[0, 3, :2], [expected_xy0 + yolov4.STRIDES[0], expected_xy0], atol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 4], 0.5, atol=1e-6)
+
+
+def test_box_iou():
+    a = jnp.asarray([[5.0, 5.0, 10.0, 10.0]])   # box [0,10]x[0,10]
+    b = jnp.asarray([[10.0, 5.0, 10.0, 10.0],   # half overlap
+                     [100.0, 100.0, 10.0, 10.0]])
+    iou = np.asarray(yolov4.box_iou_xywh(a, b))
+    np.testing.assert_allclose(iou[0, 0], 50.0 / 150.0, atol=1e-5)
+    assert iou[0, 1] == 0
+
+
+def test_box_nms_suppression():
+    boxes = jnp.asarray([
+        [10.0, 10.0, 20.0, 20.0],
+        [11.0, 10.0, 20.0, 20.0],   # heavy overlap with first
+        [100.0, 100.0, 20.0, 20.0]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    valid = jnp.ones(3, bool)
+    keep = np.asarray(yolov4.box_nms(boxes, scores, valid, 0.5, 10))
+    np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_box_nms_max_output():
+    boxes = jnp.asarray([[i * 100.0, 0.0, 10.0, 10.0] for i in range(5)])
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6, 0.5])
+    keep = np.asarray(yolov4.box_nms(boxes, scores, jnp.ones(5, bool), 0.5, 2))
+    assert keep.sum() == 2
+    np.testing.assert_array_equal(keep, [True, True, False, False, False])
+
+
+@pytest.fixture(scope='module')
+def tiny_detector():
+    model = yolov4.YOLOv4(num_classes=80, dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return yolov4.PersonDetector(model, variables, input_size=96, top_candidates=64)
+
+
+def test_full_detector_shapes(tiny_detector, rng):
+    images = rng.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
+    boxes5, valid = tiny_detector.detect_batched(
+        images, threshold=0.0, max_detections=4)
+    assert np.asarray(boxes5).shape == (2, 4, 5)
+    assert np.asarray(valid).shape == (2, 4)
+    assert np.all(np.isfinite(np.asarray(boxes5)))
+
+
+def test_detector_flip_aug_runs(tiny_detector, rng):
+    images = rng.integers(0, 255, size=(1, 96, 96, 3), dtype=np.uint8)
+    boxes5, valid = tiny_detector.detect_batched(
+        images, threshold=0.0, max_detections=4, flip_aug=True)
+    assert np.asarray(boxes5).shape == (1, 4, 5)
+
+
+def test_darknet_conv_count():
+    """YOLOv4 must have exactly 110 conv sections with outputs at 93/101/109
+    (the canonical darknet layout the weight importer assumes)."""
+    model = yolov4.YOLOv4(num_classes=80, dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables['params']
+    conv_ids = sorted(int(k.split('_')[1]) for k in params if k.startswith('conv_'))
+    assert conv_ids == list(range(110)), (len(conv_ids), conv_ids[-5:])
+    no_bn = [i for i in conv_ids if 'bn' not in params[f'conv_{i}']]
+    assert no_bn == [93, 101, 109], no_bn

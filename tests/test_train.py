@@ -1,0 +1,140 @@
+"""Training-stack tests: losses, schedules, full train step, and the
+data-parallel sharded step on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metrabs_tpu.config import ModelConfig, TrainConfig
+from metrabs_tpu.models.backbones.tiny import TinyBackbone
+from metrabs_tpu.models.metrabs import Metrabs
+from metrabs_tpu.ops.camera import intrinsics_from_fov
+from metrabs_tpu.pipeline.skeletons import H36M_17, LSP_14
+from metrabs_tpu.train import losses as losses_mod
+from metrabs_tpu.train import loop as loop_mod
+from metrabs_tpu.train import optim
+
+CFG = ModelConfig(proc_side=64, stride_train=32, stride_test=32, depth=4,
+                  n_joints=17, dtype='float32')
+TCFG = TrainConfig(training_steps=1000, batch_size=4, batch_size_2d=4,
+                   grad_accum_steps=1, ema_momentum=0.99)
+
+
+def make_batches(rng, n3=4, n2=4):
+    K = np.asarray(intrinsics_from_fov(55.0, (64, 64)))[0]
+    batch3d = dict(
+        image=rng.uniform(size=(n3, 64, 64, 3)).astype(np.float32),
+        intrinsics=np.tile(K[None], (n3, 1, 1)).astype(np.float32),
+        coords3d_true=(rng.normal(size=(n3, 17, 3)) * 200
+                       + np.array([0, 0, 3000])).astype(np.float32),
+        joint_validity_mask=np.ones((n3, 17), bool))
+    batch2d = dict(
+        image=rng.uniform(size=(n2, 64, 64, 3)).astype(np.float32),
+        intrinsics=np.tile(K[None], (n2, 1, 1)).astype(np.float32),
+        coords2d_true=rng.uniform(10, 50, size=(n2, 14, 2)).astype(np.float32),
+        joint_validity_mask=np.ones((n2, 14), bool))
+    return {k: jnp.asarray(v) for k, v in batch3d.items()}, \
+           {k: jnp.asarray(v) for k, v in batch2d.items()}
+
+
+def test_lr_schedule_phases():
+    sched = optim.lr_schedule(TCFG)
+    b = TCFG.base_learning_rate
+    np.testing.assert_allclose(sched(0), b, rtol=1e-6)
+    # End of phase 1 (92%): decayed to ~b/3.
+    np.testing.assert_allclose(sched(919), b / 3, rtol=2e-3)
+    # Phase 2 starts at exactly 92% (reference uses `<`): drops to b/30.
+    np.testing.assert_allclose(sched(920), b / 30, rtol=1e-4)
+    # End of training: b/30 * 0.3.
+    np.testing.assert_allclose(sched(1000), b / 30 * 0.3, rtol=1e-4)
+
+
+def test_loss_3d_perfect_prediction_zero(rng):
+    K = jnp.asarray(intrinsics_from_fov(55.0, (64, 64)))
+    pose = jnp.asarray(
+        (rng.normal(size=(2, 17, 3)) * 100 + np.array([0, 0, 3000])), jnp.float32)
+    loss = losses_mod.compute_loss_with_3d_gt(
+        pose, pose, jnp.tile(K, (2, 1, 1)), jnp.ones((2, 17), bool),
+        cfg=CFG, tcfg=TCFG, step=jnp.int32(10000))
+    assert float(loss) < 1e-6
+
+
+def test_loss_3d_scales_with_error(rng):
+    K = jnp.asarray(intrinsics_from_fov(55.0, (64, 64)))
+    pose = jnp.asarray(
+        (rng.normal(size=(2, 17, 3)) * 100 + np.array([0, 0, 3000])), jnp.float32)
+    loss_small = losses_mod.compute_loss_with_3d_gt(
+        pose + 10, pose, jnp.tile(K, (2, 1, 1)), jnp.ones((2, 17), bool),
+        cfg=CFG, tcfg=TCFG, step=jnp.int32(10000))
+    loss_big = losses_mod.compute_loss_with_3d_gt(
+        pose + 100, pose, jnp.tile(K, (2, 1, 1)), jnp.ones((2, 17), bool),
+        cfg=CFG, tcfg=TCFG, step=jnp.int32(10000))
+    assert float(loss_big) > float(loss_small) > 0
+
+
+def test_2d_index_groups():
+    groups = losses_mod.get_2d_joint_index_groups(H36M_17, LSP_14)
+    assert len(groups) == 14
+    # 'rank' in LSP matches 'rank' in h36m (index 3).
+    assert groups[0] == [3]
+    # every LSP_14 joint must match at least one h36m joint
+    assert all(len(g) >= 1 for g in groups)
+
+
+@pytest.fixture(scope='module')
+def train_setup():
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    tx = optim.build_optimizer(TCFG)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, TCFG)
+    return model, tx, state, step_fn
+
+
+def test_train_step_decreases_nothing_nan(train_setup, rng):
+    _, _, state, step_fn = train_setup
+    batch3d, batch2d = make_batches(rng)
+    jitted = jax.jit(step_fn)
+    state1, losses1 = jitted(state, batch3d, batch2d, jax.random.PRNGKey(1))
+    assert int(state1.step) == 1
+    assert np.isfinite(float(losses1['loss']))
+    # params actually changed
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, state1.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_train_step_overfits_tiny_batch(train_setup, rng):
+    """A few steps on one batch should reduce the loss (end-to-end gradient
+    sanity through backbone, heads, soft-argmax and reconstruction)."""
+    _, _, state, step_fn = train_setup
+    batch3d, batch2d = make_batches(rng)
+    jitted = jax.jit(step_fn)
+    losses_first = None
+    for i in range(8):
+        state, losses = jitted(state, batch3d, batch2d, jax.random.PRNGKey(100))
+        if losses_first is None:
+            losses_first = float(losses['loss'])
+    assert float(losses['loss']) < losses_first
+
+
+def test_sharded_train_step_on_mesh(train_setup, rng):
+    """DP train step over the virtual 8-device CPU mesh."""
+    from metrabs_tpu.parallel import mesh as mesh_mod
+    model, tx, state, step_fn = train_setup
+    mesh = mesh_mod.make_mesh(n_data=8, n_model=1)
+    sharded = loop_mod.make_sharded_train_step(step_fn, mesh)
+    batch3d, batch2d = make_batches(rng, n3=8, n2=8)
+    with mesh:
+        state1, losses = sharded(state, batch3d, batch2d, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses['loss']))
+    assert int(state1.step) == 1
+
+
+def test_ema_update():
+    p = {'w': jnp.ones(3)}
+    e = {'w': jnp.zeros(3)}
+    out = optim.ema_update(e, p, 0.9)
+    np.testing.assert_allclose(out['w'], 0.1 * np.ones(3), atol=1e-6)
+    out_off = optim.ema_update(e, p, 1.0)
+    np.testing.assert_allclose(out_off['w'], np.ones(3))
