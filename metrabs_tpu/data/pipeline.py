@@ -1,0 +1,154 @@
+"""Host-side data pipeline: multiprocess loading, round-robin dataset mixing,
+batching and double-buffered device feeding.
+
+Replaces the reference's tf-parallel-map + tf.data flow
+(`metrabs_tf/main.py:44-97,308-363`): a process pool maps the per-example
+load functions, examples from multiple datasets are interleaved round-robin
+with fixed per-batch section sizes (the mechanism behind the 28-dataset
+`huge8` mixture), and finished batches are pushed to the device one step
+ahead of consumption so the TPU never waits on the host.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def roundrobin_iterate(
+        example_lists: Sequence[Sequence], section_sizes: Sequence[int],
+        rng: np.random.Generator) -> Iterator:
+    """Yields examples so every consecutive `sum(section_sizes)` block draws
+    `section_sizes[i]` items from dataset i (shuffled, looping forever) —
+    the reference's round-robin batch composition (`main.py:308-363`)."""
+    def shuffled_cycle(examples, seed):
+        local_rng = np.random.default_rng(seed)
+        while True:
+            order = local_rng.permutation(len(examples))
+            for i in order:
+                yield examples[i]
+
+    iters = [shuffled_cycle(lst, rng.integers(1 << 31))
+             for lst in example_lists]
+    while True:
+        for it, size in zip(iters, section_sizes):
+            for _ in range(size):
+                yield next(it)
+
+
+def batch_dicts(dicts: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
+
+
+class ParallelBatchLoader:
+    """Maps `load_fn(example, rng)` over an example stream with a worker pool
+    and yields stacked batches.
+
+    Uses threads by default (the load fns are numpy/cv2 which release the
+    GIL); pass use_processes=True for pickleable load fns when Python-level
+    parallelism is needed.
+    """
+
+    def __init__(self, load_fn: Callable, example_iter: Iterator,
+                 batch_size: int, *, n_workers: int = 8, seed: int = 0,
+                 use_processes: bool = False, prefetch_batches: int = 2):
+        self._load_fn = load_fn
+        self._examples = example_iter
+        self._batch_size = batch_size
+        self._seed_counter = itertools.count(seed)
+        pool_cls = ProcessPoolExecutor if use_processes else ThreadPoolExecutor
+        self._pool = pool_cls(n_workers)
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch_batches)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _producer(self):
+        try:
+            while not self._stop.is_set():
+                examples = [next(self._examples) for _ in range(self._batch_size)]
+                rngs = [np.random.default_rng(next(self._seed_counter))
+                        for _ in examples]
+                loaded = list(self._pool.map(self._load_fn, examples, rngs))
+                self._queue.put(batch_dicts(loaded))
+        except StopIteration:
+            self._queue.put(None)
+        except Exception as e:  # surface worker errors to the consumer
+            self._queue.put(e)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def device_prefetch(batch_iter: Iterable, sharding=None, depth: int = 2):
+    """Keeps `depth` batches in flight on the device (double buffering) so
+    host loading overlaps with TPU compute."""
+    put = (lambda b: jax.device_put(b, sharding)) if sharding is not None \
+        else jax.device_put
+    buf: List = []
+    it = iter(batch_iter)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+        while True:
+            nxt = put(next(it))
+            yield buf.pop(0)
+            buf.append(nxt)
+    except StopIteration:
+        pass
+    yield from buf
+
+
+# Reference section-size tables for the multi-dataset mixtures
+# (`main.py:308-363`): per-batch example counts keyed by dataset-name prefix,
+# preserved verbatim for config parity with the published training recipes.
+ROUNDROBIN_SECTIONS = {
+    'huge8': {
+        'h36m_': 4, 'muco_downscaled': 6, 'humbi': 5, '3doh_down': 3, 'agora': 3,
+        'surreal': 5, 'panoptic_': 7, 'aist_': 6, 'aspset_': 4, 'gpa_': 4,
+        '3dpeople': 4, 'sailvos': 5, 'bml_movi': 5, 'mads_down': 2, 'umpm_down': 2,
+        'bmhad_down': 3, '3dhp_full_down': 3, 'totalcapture': 3,
+        'jta_down': 3, 'ikea_down': 2, 'human4d': 1,
+        'behave_down': 3, 'rich_down': 4, 'spec_down': 2,
+        'fit3d_': 2, 'chi3d_': 1, 'humansc3d_': 1, 'hspace_': 3},
+    'medium3': {
+        'h36m_': 9, 'muco_downscaled': 9, 'humbi': 7, 'agora': 5,
+        'surreal': 8, 'panoptic_': 9, 'aist_': 9,
+        '3dpeople': 6, 'sailvos': 7, 'totalcapture': 5,
+        'jta_down': 5, '3dhp_full_down': 5, 'rich_down': 7, 'hspace_': 5},
+    'small5': {'surreal': 32, 'h36m': 32, 'muco_downscaled': 32},
+    'huge2d': {'mpii_down': 8, 'coco_down': 8, 'jrdb_down': 8,
+               'posetrack_down': 8},
+}
+
+
+def build_dataset_sections(examples, section_prefixes: Sequence[str]):
+    """Partitions examples into sections by image-path prefix match
+    (`main.py:342-356` equivalent); an example goes to the first section whose
+    prefix occurs in its path."""
+    sections = {name: [] for name in section_prefixes}
+    for ex in examples:
+        path = getattr(ex, 'image_path', '').lower()
+        for name in section_prefixes:
+            if name.rstrip('_') in path:
+                sections[name].append(ex)
+                break
+    return [sections[name] for name in section_prefixes]
