@@ -71,13 +71,20 @@ class ParallelBatchLoader:
 
     def _producer(self):
         try:
-            while not self._stop.is_set():
-                examples = [next(self._examples) for _ in range(self._batch_size)]
-                rngs = [np.random.default_rng(next(self._seed_counter))
-                        for _ in examples]
-                loaded = list(self._pool.map(self._load_fn, examples, rngs))
-                self._queue.put(batch_dicts(loaded))
-        except StopIteration:
+            exhausted = False
+            while not self._stop.is_set() and not exhausted:
+                examples = []
+                for _ in range(self._batch_size):
+                    try:
+                        examples.append(next(self._examples))
+                    except StopIteration:
+                        exhausted = True
+                        break
+                if examples:
+                    rngs = [np.random.default_rng(next(self._seed_counter))
+                            for _ in examples]
+                    loaded = list(self._pool.map(self._load_fn, examples, rngs))
+                    self._queue.put(batch_dicts(loaded))
             self._queue.put(None)
         except Exception as e:  # surface worker errors to the consumer
             self._queue.put(e)

@@ -1,0 +1,132 @@
+"""Benchmark prediction + evaluation harnesses.
+
+Re-design of the reference's predict flow (`metrabs_tf/main.py:439-507`) and
+`inference_scripts/` drivers: iterate test examples through the crop model
+(optionally with test-time mirror augmentation), transform predictions from
+crop-camera space to world space, dump NPZ, and evaluate the standard metric
+tables (MPJPE / PA-MPJPE / PCK / AUC ...) against ground truth.
+
+Datasets are supplied as example lists (see `data/loading.py` Example3D); the
+per-benchmark eval protocols (3DPW 14-joint PA, H36M 17-joint S9/S11, 3DHP
+PCK@150 with its 17-joint subset, MuPoTS matched PCK) are expressed as eval
+configs over the generic metric kernel in `eval/metrics.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrabs_tpu.config import ModelConfig
+from metrabs_tpu.data.loading import Example3D, LoadConfig, load_and_transform3d
+from metrabs_tpu.data.pipeline import ParallelBatchLoader
+from metrabs_tpu.eval import metrics as metrics_mod
+from metrabs_tpu.utils.joint_info import JointInfo
+
+
+def predict_dataset(
+        crop_model_fn: Callable, examples: Sequence[Example3D],
+        joint_info: JointInfo, cfg: ModelConfig, *,
+        batch_size: int = 64, n_workers: int = 8,
+        test_time_mirror_aug: bool = False,
+        lcfg: Optional[LoadConfig] = None) -> Dict[str, np.ndarray]:
+    """Runs the crop model over a test set; returns stacked predictions in the
+    ORIGINAL camera and world frames (`main.py:485-507` PredTransform logic).
+
+    crop_model_fn(crops [N,S,S,3], intrinsics [N,3,3], valid [N]) -> [N,J,3].
+    """
+    lcfg = lcfg or LoadConfig(
+        geom_aug=False, occlude_aug_prob=0, color_aug=False,
+        background_aug_prob=0, partial_visibility_prob=0)
+
+    def load_fn(ex, rng):
+        return load_and_transform3d(ex, joint_info, False, rng, cfg, lcfg)
+
+    n_total = len(examples)
+    loader = ParallelBatchLoader(
+        load_fn, iter(list(examples)), batch_size=min(batch_size, n_total),
+        n_workers=n_workers)
+
+    mirror = jnp.asarray(joint_info.mirror_mapping)
+
+    @jax.jit
+    def predict_batch(images, intrinsics):
+        crops = images.astype(jnp.dtype(cfg.dtype))
+        valid = jnp.ones((images.shape[0],), bool)
+        poses = crop_model_fn(crops, intrinsics, valid)
+        if test_time_mirror_aug:
+            flipped = crop_model_fn(crops[:, :, ::-1], intrinsics, valid)
+            # Mirror back: negate camera-space x, swap left/right joints,
+            # then average (`models/metrabs.py:416-435`).
+            flipped = (flipped * jnp.asarray([-1.0, 1.0, 1.0]))[:, mirror]
+            poses = (poses + flipped) / 2
+        return poses
+
+    all_preds_cam = []
+    all_true_cam = []
+    all_valid = []
+    all_preds_world = []
+    n_done = 0
+    for batch in loader:
+        if n_done >= n_total:
+            break
+        take = min(len(batch['image']), n_total - n_done)
+        poses = np.asarray(predict_batch(
+            jnp.asarray(batch['image']), jnp.asarray(batch['intrinsics'])))
+        for i in range(take):
+            # Crop camera -> original camera / world (`main.py:496-507`).
+            rot_oc = batch['rot_to_orig_cam'][i]
+            rot_w = batch['rot_to_world'][i]
+            cam_loc = batch['cam_loc'][i]
+            all_preds_cam.append(poses[i] @ rot_oc.T)
+            all_preds_world.append(poses[i] @ rot_w.T + cam_loc)
+            all_true_cam.append(batch['coords3d_true'][i] @ rot_oc.T)
+            all_valid.append(batch['joint_validity_mask'][i])
+        n_done += take
+    loader.close()
+    return dict(
+        poses3d_pred_cam=np.stack(all_preds_cam),
+        poses3d_pred_world=np.stack(all_preds_world),
+        poses3d_true_cam=np.stack(all_true_cam),
+        joint_validity_mask=np.stack(all_valid))
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalProtocol:
+    """Per-benchmark evaluation configuration."""
+    name: str
+    pck_threshold_mm: float = 150.0
+    procrustes: bool = True
+    root_align: bool = True
+
+
+BENCHMARK_PROTOCOLS = {
+    # 3DPW: 14-joint (LSP-like) protocol, PCK@50mm also reported.
+    '3dpw': EvalProtocol(name='3dpw', pck_threshold_mm=50.0),
+    'h36m': EvalProtocol(name='h36m'),
+    '3dhp': EvalProtocol(name='3dhp'),
+    'mupots': EvalProtocol(name='mupots'),
+    '3doh': EvalProtocol(name='3doh'),
+    'aspset': EvalProtocol(name='aspset'),
+}
+
+
+def evaluate_predictions(
+        preds: Dict[str, np.ndarray], joint_info: Optional[JointInfo] = None,
+        threshold_mm: float = 150.0) -> Dict[str, float]:
+    """Computes the standard metric table from a predict_dataset dump."""
+    m = metrics_mod.compute_pose3d_metrics(
+        jnp.asarray(preds['poses3d_pred_cam']),
+        jnp.asarray(preds['poses3d_true_cam']),
+        jnp.asarray(preds['joint_validity_mask']),
+        joint_info=joint_info, threshold_mm=threshold_mm)
+    return {k: float(v) for k, v in m.items()}
+
+
+def save_predictions_npz(path: str, preds: Dict[str, np.ndarray]) -> None:
+    """NPZ prediction dump (the fleras StorePredictionsAsNPZ analogue)."""
+    np.savez_compressed(path, **preds)

@@ -1,0 +1,122 @@
+"""Model packaging: bundles everything a deployed PoseEstimator needs.
+
+The analogue of `metrabs_tf/multiperson/save_model.py`: the reference wraps a
+crop SavedModel + detector SavedModel + skeleton_infos pickle + joint
+transform matrix into one SavedModel with four signatures. Here the package
+is a directory with msgpack weights + a JSON manifest; `load_pose_estimator`
+reconstructs the full `PoseEstimator` (detect/estimate x single/batched) from
+it in one call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrabs_tpu.config import AugConfig, ModelConfig
+from metrabs_tpu.io.checkpoints import export_model_msgpack, load_model_msgpack
+from metrabs_tpu.pipeline.estimator import PoseEstimator
+from metrabs_tpu.pipeline.skeletons import SkeletonInfo, SkeletonRegistry
+from metrabs_tpu.utils.joint_info import JointInfo
+
+
+def save_pose_estimator_package(
+        directory: str, *, cfg: ModelConfig, aug_cfg: AugConfig,
+        crop_model_variables: Any, joint_info: JointInfo,
+        detector_variables: Optional[Any] = None,
+        skeleton_registry: Optional[SkeletonRegistry] = None,
+        bone_mean_lengths: Optional[np.ndarray] = None,
+        joint_transform_matrix: Optional[np.ndarray] = None) -> None:
+    os.makedirs(directory, exist_ok=True)
+    export_model_msgpack(
+        os.path.join(directory, 'crop_model.msgpack'), crop_model_variables)
+    if detector_variables is not None:
+        export_model_msgpack(
+            os.path.join(directory, 'detector.msgpack'), detector_variables)
+    if joint_transform_matrix is not None:
+        np.save(os.path.join(directory, 'joint_transform.npy'),
+                joint_transform_matrix)
+
+    skeletons = {}
+    if skeleton_registry is not None:
+        for name in skeleton_registry.skeleton_names:
+            skeletons[name] = dict(
+                indices=[int(i) for i in skeleton_registry.indices(name)],
+                names=list(skeleton_registry.joint_names(name)),
+                edges=[list(map(int, e))
+                       for e in skeleton_registry.joint_edges(name)])
+
+    manifest = dict(
+        format_version=1,
+        model_config=dataclasses.asdict(cfg),
+        aug_config=dataclasses.asdict(aug_cfg),
+        joint_names=list(joint_info.names),
+        joint_edges=[list(map(int, e)) for e in joint_info.edges],
+        has_detector=detector_variables is not None,
+        has_joint_transform=joint_transform_matrix is not None,
+        bone_mean_lengths=(
+            [float(x) for x in bone_mean_lengths]
+            if bone_mean_lengths is not None else None),
+        skeletons=skeletons)
+    with open(os.path.join(directory, 'manifest.json'), 'w') as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
+    """Reconstructs a PoseEstimator from a package directory."""
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    from metrabs_tpu.models.metrabs import Metrabs
+
+    with open(os.path.join(directory, 'manifest.json')) as f:
+        manifest = json.load(f)
+    cfg = ModelConfig(**manifest['model_config'])
+    aug_cfg = AugConfig(**manifest['aug_config'])
+    joint_info = JointInfo(
+        names=tuple(manifest['joint_names']),
+        edges=tuple(tuple(e) for e in manifest['joint_edges']))
+
+    crop_variables = load_model_msgpack(
+        os.path.join(directory, 'crop_model.msgpack'))['variables']
+    backbone = (backbone_builder or build_backbone)(
+        cfg.backbone, centered_stride=cfg.centered_stride,
+        dtype=jnp.dtype(cfg.dtype))
+    model = Metrabs(cfg=cfg, backbone=backbone)
+
+    def crop_model_fn(crops, intrinsics, sample_valid):
+        return model.apply(crop_variables, crops, intrinsics, train=False,
+                           sample_valid=sample_valid)
+
+    detector = None
+    if manifest.get('has_detector'):
+        from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4
+        det_variables = load_model_msgpack(
+            os.path.join(directory, 'detector.msgpack'))['variables']
+        detector = PersonDetector(YOLOv4(), det_variables)
+
+    skeleton_registry = None
+    if manifest.get('skeletons'):
+        infos = {
+            k: SkeletonInfo(
+                indices=tuple(v['indices']), names=tuple(v['names']),
+                edges=tuple(tuple(e) for e in v['edges']))
+            for k, v in manifest['skeletons'].items()}
+        skeleton_registry = SkeletonRegistry(joint_info, infos)
+
+    joint_transform = None
+    jt_path = os.path.join(directory, 'joint_transform.npy')
+    if manifest.get('has_joint_transform') and os.path.exists(jt_path):
+        joint_transform = np.load(jt_path)
+
+    bone_means = (np.asarray(manifest['bone_mean_lengths'], np.float32)
+                  if manifest.get('bone_mean_lengths') else None)
+
+    return PoseEstimator(
+        crop_model_fn, joint_info, cfg, aug_cfg=aug_cfg, detector=detector,
+        skeleton_registry=skeleton_registry, bone_mean_lengths=bone_means,
+        joint_transform_matrix=joint_transform)

@@ -27,7 +27,8 @@ def build_backbone(name: str, *, centered_stride: bool = True,
     name = name.lower().replace('_', '-')
     if name.startswith('efficientnetv2'):
         return EfficientNetV2(
-            model_name=name, ghost_splits=ghost_splits, dtype=dtype)
+            model_name=name, centered_stride=centered_stride,
+            ghost_splits=ghost_splits, dtype=dtype)
     if name.startswith('resnet'):
         m = re.match(r'resnet(\d+)(v1-5|v2)?(?:-stride(\d+))?$', name)
         if not m:

@@ -91,14 +91,17 @@ def batch_norm(momentum: float, epsilon: float, dtype, name: str,
 
 
 def stochastic_depth(x: jnp.ndarray, residual: jnp.ndarray,
-                     survival_prob: Optional[float], train: bool,
-                     rng=None) -> jnp.ndarray:
-    """Residual add with drop-connect (`effnetv2_model.py:265-276`)."""
-    if not train or not survival_prob or survival_prob >= 1.0:
+                     survival_prob, train: bool, rng=None) -> jnp.ndarray:
+    """Residual add with drop-connect (`effnetv2_model.py:265-276`).
+
+    `survival_prob` may be a traced scalar (it is a scanned input when blocks
+    are stacked with nn.scan)."""
+    if not train or rng is None:
         return x + residual
     mask_shape = (residual.shape[0],) + (1,) * (residual.ndim - 1)
-    keep = jax.random.bernoulli(rng, survival_prob, mask_shape)
-    return x + jnp.where(keep, residual / survival_prob, 0.0)
+    p = jnp.clip(jnp.asarray(survival_prob, jnp.float32), 1e-6, 1.0)
+    keep = jax.random.bernoulli(rng, p, mask_shape)
+    return x + jnp.where(keep, residual / p, 0.0)
 
 
 # --- Per-family input preprocessing (`backbones/builder.py:99-117`).

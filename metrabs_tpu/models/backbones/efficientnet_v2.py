@@ -210,12 +210,12 @@ class SqueezeExcite(nn.Module):
 
 class MBConv(nn.Module):
     args: BlockArgs
-    survival_prob: float
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, survival_prob=1.0,
+                 train: bool = False) -> jnp.ndarray:
         a = self.args
         inputs = x
         filters = a.input_filters * a.expand_ratio
@@ -242,20 +242,19 @@ class MBConv(nn.Module):
                     param_dtype=jnp.float32, name='project_conv')(x)
         x = bn('norm2')(x, train)
         if a.strides == 1 and a.input_filters == a.output_filters:
-            rng = self.make_rng('dropout') if (
-                train and self.survival_prob < 1.0) else None
-            x = common.stochastic_depth(inputs, x, self.survival_prob, train, rng)
+            rng = self.make_rng('dropout') if train else None
+            x = common.stochastic_depth(inputs, x, survival_prob, train, rng)
         return x
 
 
 class FusedMBConv(nn.Module):
     args: BlockArgs
-    survival_prob: float
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, survival_prob=1.0,
+                 train: bool = False) -> jnp.ndarray:
         a = self.args
         inputs = x
         filters = a.input_filters * a.expand_ratio
@@ -289,10 +288,25 @@ class FusedMBConv(nn.Module):
         if a.expand_ratio == 1:
             x = nn.silu(x)
         if a.strides == 1 and a.input_filters == a.output_filters:
-            rng = self.make_rng('dropout') if (
-                train and self.survival_prob < 1.0) else None
-            x = common.stochastic_depth(inputs, x, self.survival_prob, train, rng)
+            rng = self.make_rng('dropout') if train else None
+            x = common.stochastic_depth(inputs, x, survival_prob, train, rng)
         return x
+
+
+class _ScanBody(nn.Module):
+    """Scan wrapper: carry = feature map, scanned input = survival prob."""
+    args: BlockArgs
+    ghost_splits: int
+    dtype: Any
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, survival_prob):
+        cls = FusedMBConv if self.args.conv_type == 1 else MBConv
+        y = cls(args=self.args, ghost_splits=self.ghost_splits,
+                dtype=self.dtype, name='block')(
+            carry, survival_prob, train=self.train)
+        return y, None
 
 
 class EfficientNetV2(nn.Module):
@@ -300,13 +314,23 @@ class EfficientNetV2(nn.Module):
     (or higher resolution for -strideN variants)."""
 
     model_name: str = 'efficientnetv2-s'
+    centered_stride: bool = True
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
     feature_size: int = 1280
+    # Stack within-stage repeated blocks with nn.scan (compile-time win);
+    # set False for a flat blocks_{i} param tree (weight-import layout).
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         blocks = expand_blocks(self.model_name)
+        if not self.centered_stride:
+            # The `br` bottom-right shifts exist to center-align features;
+            # without centered stride they are dropped (vanilla automl /
+            # torchvision alignment).
+            blocks = [dataclasses.replace(b, bottomright_stride=False)
+                      for b in blocks]
         x = common.tf_preproc(x.astype(self.dtype))
 
         # Stem: fixed pad + VALID 3x3 s2 (`effnetv2_model.py:440-468`).
@@ -321,13 +345,54 @@ class EfficientNetV2(nn.Module):
         h = nn.silu(h)
 
         n_blocks = len(blocks)
-        for idx, args in enumerate(blocks):
-            drop_rate = 1.0 - SURVIVAL_PROB
-            survival = 1.0 - drop_rate * float(idx) / n_blocks
-            cls = FusedMBConv if args.conv_type == 1 else MBConv
-            h = cls(args=args, survival_prob=survival,
-                    ghost_splits=self.ghost_splits, dtype=self.dtype,
-                    name=f'blocks_{idx}')(h, train=train)
+        drop_rate = 1.0 - SURVIVAL_PROB
+        survival = [1.0 - drop_rate * float(i) / n_blocks for i in range(n_blocks)]
+
+        if not self.scan_blocks:
+            for idx, args in enumerate(blocks):
+                cls = FusedMBConv if args.conv_type == 1 else MBConv
+                h = cls(args=args, ghost_splits=self.ghost_splits,
+                        dtype=self.dtype, name=f'blocks_{idx}')(
+                    h, survival[idx], train=train)
+        else:
+            # Stage-wise: the first block of each stage is standalone (it may
+            # change stride/filters); the remaining identical blocks are ONE
+            # nn.scan'd module. This collapses XLA program size: compile time
+            # for EffNetV2-L drops from tens of minutes to ~1 minute on the
+            # tunnel compiler, at negligible runtime cost (the standard
+            # big-model layer-stacking pattern).
+            idx = 0
+            while idx < n_blocks:
+                args = blocks[idx]
+                cls = FusedMBConv if args.conv_type == 1 else MBConv
+                h = cls(args=args, ghost_splits=self.ghost_splits,
+                        dtype=self.dtype, name=f'blocks_{idx}')(
+                    h, survival[idx], train=train)
+                idx += 1
+                n_rest = 0
+                while idx + n_rest < n_blocks and blocks[idx + n_rest] == dataclasses.replace(
+                        args, input_filters=args.output_filters, strides=1,
+                        bottomright_stride=False, dilation_in=args.dilation_out):
+                    n_rest += 1
+                if n_rest >= 2:
+                    rest_args = blocks[idx]
+                    sp = jnp.asarray(survival[idx:idx + n_rest], jnp.float32)
+                    scanned = nn.scan(
+                        _ScanBody,
+                        variable_axes={'params': 0, 'batch_stats': 0},
+                        split_rngs={'params': True, 'dropout': True},
+                        in_axes=(0,), length=n_rest,
+                        metadata_params={nn.PARTITION_NAME: None})(
+                        args=rest_args, ghost_splits=self.ghost_splits,
+                        dtype=self.dtype, train=train,
+                        name=f'blocks_{idx}_scan{n_rest}')
+                    h, _ = scanned(h, sp)
+                    idx += n_rest
+                elif n_rest == 1:
+                    h = cls(args=blocks[idx], ghost_splits=self.ghost_splits,
+                            dtype=self.dtype, name=f'blocks_{idx}')(
+                        h, survival[idx], train=train)
+                    idx += 1
 
         # Head: 1x1 conv to feature_size (`effnetv2_model.py:469-532`).
         h = nn.Conv(self.feature_size, (1, 1), use_bias=False, dtype=self.dtype,
