@@ -294,6 +294,7 @@ class PoseEstimator:
             bone_mean_lengths: Optional[np.ndarray] = None,
             joint_transform_matrix: Optional[np.ndarray] = None):
         self.cfg = cfg
+        self._aug_cfg = aug_cfg
         self.joint_info = joint_info
         self.detector = detector
         self.skeletons = skeleton_registry or SkeletonRegistry(joint_info)
@@ -384,7 +385,9 @@ class PoseEstimator:
         boxes5, box_valid = self.detector.detect_batched(
             images, threshold=detector_threshold,
             nms_iou_threshold=detector_nms_iou_threshold,
-            max_detections=max_detections, flip_aug=detector_flip_aug)
+            max_detections=max_detections, flip_aug=detector_flip_aug,
+            flip_vertical=(detector_flip_aug
+                           and self._aug_cfg.detector_flip_vertical_too))
         return self._run(
             images, boxes5, box_valid, intrinsic_matrix, distortion_coeffs,
             extrinsic_matrix, world_up_vector, default_fov_degrees,

@@ -148,6 +148,87 @@ def reconstruct_absolute_trainmode(
     return jnp.where(step < 500, weak, full)
 
 
+def compute_losses_latents_and_all(
+        preds_abs: jnp.ndarray, preds_abs_latent: jnp.ndarray,
+        preds_abs_2d: jnp.ndarray, preds_abs_2d_latent: jnp.ndarray,
+        batch3d: Dict, batch2d: Dict,
+        index_groups: Sequence[Sequence[int]], *,
+        cfg: ModelConfig, tcfg: TrainConfig, step: jnp.ndarray,
+        recombination_weights: jnp.ndarray,
+        encoder_weights: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Hybrid student-teacher losses for predict_all_and_latents
+    (`models/metrabs.py:320-391`): the all-joints head supervises the latent
+    head (teacher), both are tied to GT directly and through the
+    encode/decode autoencoder."""
+    w_dec = recombination_weights                        # [L, J]
+    w_enc = encoder_weights                              # [J, L]
+    w_rec = w_enc @ w_dec                                # [J, J]
+
+    def comb(x, w):
+        return jnp.einsum('bjc,jJ->bJc', x, w, precision='highest')
+
+    sg = jax.lax.stop_gradient if tcfg.stop_gradient_latent else (lambda x: x)
+    losses = {}
+
+    def loss3d(pred, true, intr, mask=None):
+        return compute_loss_with_3d_gt(
+            pred, true, intr, mask, cfg=cfg, tcfg=tcfg, step=step)
+
+    # 3D batch (`models/metrabs.py:328-358`).
+    losses['loss_allhead_vs_gt'] = loss3d(
+        preds_abs, batch3d['coords3d_true'], batch3d['intrinsics'],
+        batch3d.get('joint_validity_mask'))
+    losses['loss_latentheadreconstruction_vs_gt'] = loss3d(
+        comb(preds_abs_latent, w_dec), batch3d['coords3d_true'],
+        batch3d['intrinsics'], batch3d.get('joint_validity_mask'))
+    losses['loss_allhead_vs_reconstr'] = jnp.mean(
+        jnp.abs(preds_abs - comb(preds_abs, w_rec))) / 1000.0
+    losses['loss_allhead_ae_vs_gt'] = loss3d(
+        comb(preds_abs, w_rec), batch3d['coords3d_true'],
+        batch3d['intrinsics'], batch3d.get('joint_validity_mask'))
+    losses['loss_latenthead_vs_latents_from_allhead'] = loss3d(
+        preds_abs_latent, comb(sg(preds_abs), w_enc), batch3d['intrinsics'])
+
+    teacher_factor = jnp.where(
+        step > tcfg.teacher_start_step,
+        jnp.float32(tcfg.teacher_loss_factor), jnp.float32(0))
+    losses['loss_3dbatch'] = (
+        losses['loss_allhead_vs_gt']
+        + losses['loss_latentheadreconstruction_vs_gt']
+        + tcfg.allhead_aegt_loss_factor * losses['loss_allhead_ae_vs_gt']
+        + tcfg.loss_manif_factor * losses['loss_allhead_vs_reconstr']
+        + teacher_factor * losses['loss_latenthead_vs_latents_from_allhead'])
+
+    # 2D batch (`models/metrabs.py:360-388`).
+    def loss2d(pred):
+        return compute_loss_with_2d_gt(
+            pred, batch2d['coords2d_true'], batch2d['intrinsics'],
+            batch2d['joint_validity_mask'], index_groups, cfg=cfg)
+
+    losses['loss_allhead_vs_gt_2dbatch'] = loss2d(preds_abs_2d)
+    losses['loss_latentheadreconstruction_vs_gt_2dbatch'] = loss2d(
+        comb(preds_abs_2d_latent, w_dec))
+    losses['loss_allhead_vs_reconstr_2dbatch'] = jnp.mean(
+        jnp.abs(preds_abs_2d - comb(preds_abs_2d, w_rec))) / 1000.0
+    losses['loss_allhead_ae_vs_gt_2dbatch'] = loss2d(comb(preds_abs_2d, w_rec))
+    losses['loss_latenthead_vs_latents_from_allhead_2dbatch'] = loss3d(
+        preds_abs_2d_latent, comb(sg(preds_abs_2d), w_enc),
+        batch2d['intrinsics'])
+
+    losses['loss_2dbatch'] = (
+        losses['loss_allhead_vs_gt_2dbatch']
+        + losses['loss_latentheadreconstruction_vs_gt_2dbatch']
+        + tcfg.allhead_aegt_loss_factor * losses['loss_allhead_ae_vs_gt_2dbatch']
+        + 0.5 * (tcfg.loss_manif_factor * tcfg.loss_manif_factor2d
+                 * losses['loss_allhead_vs_reconstr_2dbatch'])
+        + 0.5 * teacher_factor
+        * losses['loss_latenthead_vs_latents_from_allhead_2dbatch'])
+
+    losses['loss'] = (losses['loss_3dbatch']
+                      + tcfg.loss2d_factor * losses['loss_2dbatch'])
+    return losses
+
+
 def compute_losses(
         preds_abs: jnp.ndarray, preds_abs_2d: jnp.ndarray, batch3d: Dict,
         batch2d: Dict, index_groups: Sequence[Sequence[int]], *,
