@@ -297,6 +297,9 @@ class PoseEstimator:
         self._aug_cfg = aug_cfg
         self.joint_info = joint_info
         self.detector = detector
+        # The raw crop model (the reference's `crop_model.predict_multi`
+        # surface), exposed for crop-level benchmark prediction.
+        self.crop_model_fn = crop_model_fn
         self.skeletons = skeleton_registry or SkeletonRegistry(joint_info)
         self.per_skeleton_joint_names = self.skeletons.per_skeleton_joint_names
         self.per_skeleton_joint_edges = self.skeletons.per_skeleton_joint_edges
