@@ -1,0 +1,67 @@
+"""detect_poses end-to-end: tiny YOLO + tiny crop model through the full
+fused pipeline (detector glue, plausibility filter, NMS, world transform)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metrabs_tpu.config import ModelConfig
+from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4
+from metrabs_tpu.models.backbones.tiny import TinyBackbone
+from metrabs_tpu.models.metrabs import Metrabs
+from metrabs_tpu.pipeline.estimator import PoseEstimator
+from metrabs_tpu.pipeline.skeletons import H36M_17
+
+CFG = ModelConfig(proc_side=64, stride_train=32, stride_test=32, depth=4,
+                  n_joints=17, dtype='float32')
+
+
+@pytest.fixture(scope='module')
+def full_estimator():
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.eye(3)[None])
+
+    def crop_model_fn(crops, intrinsics, valid):
+        return model.apply(params, crops, intrinsics, train=False,
+                           sample_valid=valid)
+
+    yolo = YOLOv4(num_classes=80, dtype=jnp.float32)
+    det_vars = yolo.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, 96, 96, 3)), train=False)
+    detector = PersonDetector(yolo, det_vars, input_size=96, top_candidates=32)
+    return PoseEstimator(crop_model_fn, H36M_17, CFG, detector=detector)
+
+
+def test_detect_poses_batched_shapes(full_estimator, rng):
+    images = rng.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
+    out = full_estimator.detect_poses_batched(
+        images, num_aug=2, max_detections=4, detector_threshold=0.0,
+        suppress_implausible_poses=True)
+    assert np.asarray(out['poses3d']).shape == (2, 4, 17, 3)
+    assert np.asarray(out['boxes']).shape == (2, 4, 5)
+    assert np.asarray(out['valid']).shape == (2, 4)
+    p3 = np.asarray(out['poses3d'])
+    valid = np.asarray(out['valid'])
+    if valid.any():
+        assert np.all(np.isfinite(p3[valid]))
+
+
+def test_detect_poses_single_image(full_estimator, rng):
+    image = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    out = full_estimator.detect_poses(
+        image, num_aug=1, max_detections=4, detector_threshold=0.0,
+        suppress_implausible_poses=False)
+    # Compacted to valid rows only.
+    n = out['poses3d'].shape[0]
+    assert out['poses3d'].shape == (n, 17, 3)
+    assert out['boxes'].shape == (n, 5)
+
+
+def test_detect_with_flip_aug(full_estimator, rng):
+    images = rng.integers(0, 255, size=(1, 96, 96, 3), dtype=np.uint8)
+    out = full_estimator.detect_poses_batched(
+        images, num_aug=1, max_detections=4, detector_threshold=0.0,
+        detector_flip_aug=True, suppress_implausible_poses=False)
+    assert np.asarray(out['poses3d']).shape == (1, 4, 17, 3)
