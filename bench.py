@@ -42,9 +42,24 @@ def main():
         {'params': jax.random.PRNGKey(0)},
         jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
 
-    @jax.jit
-    def predict(image, intrinsics):
-        return model.apply(params, image, intrinsics, train=False)
+    # Methodology notes for the networked (axon) TPU:
+    #  - params must be jit ARGUMENTS: closures embed weights as HLO constants
+    #    and overflow the tunnel's remote-compile request (HTTP 413);
+    #  - host-side timing loops are unreliable over the tunnel (async dispatch
+    #    measures RPC rate, not compute), so the iteration loop runs ON DEVICE
+    #    as a lax.scan chained through a non-foldable data dependency, and the
+    #    result is read back to the host. Throughput = (t_N - t_1) difference
+    #    to cancel the round-trip/readback constant.
+    def make_runner(n_iters):
+        @jax.jit
+        def run(p, image, intrinsics):
+            def body(img, _):
+                poses = model.apply(p, img, intrinsics, train=False)
+                feedback = (jnp.tanh(jnp.sum(poses)) * 1e-12).astype(img.dtype)
+                return img + feedback, poses[0, 0, 0]
+            _, samples = jax.lax.scan(body, image, None, length=n_iters)
+            return samples
+        return run
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.uniform(size=(batch, res, res, 3)), jnp.bfloat16)
@@ -52,17 +67,21 @@ def main():
         [[400.0, 0, res / 2], [0, 400.0, res / 2], [0, 0, 1]], np.float32))[None],
         (batch, 1, 1))
 
-    # Warmup (compile + one steady-state run).
-    jax.block_until_ready(predict(image, K))
-    jax.block_until_ready(predict(image, K))
+    run_n = make_runner(iters)
+    run_1 = make_runner(1)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(image, K)
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
+    # Warmup/compile both programs.
+    np.asarray(run_1(params, image, K))
+    np.asarray(run_n(params, image, K))
 
-    crops_per_sec = batch * iters / (t1 - t0)
+    def timed(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, image, K))  # host read: cannot be faked
+        return time.perf_counter() - t0
+
+    t_1 = min(timed(run_1) for _ in range(3))
+    t_n = min(timed(run_n) for _ in range(3))
+    crops_per_sec = batch * (iters - 1) / max(t_n - t_1, 1e-9)
     print(json.dumps({
         'metric': f'crops/sec/chip ({backbone_name} {res}px bf16 crop-model forward)',
         'value': round(crops_per_sec, 2),

@@ -260,12 +260,12 @@ class PersonDetector:
     def __post_init__(self):
         self._jitted = {}
 
-    def _forward(self, images_resized: jnp.ndarray) -> jnp.ndarray:
-        heads = self.model.apply(self.variables, images_resized, train=False)
+    def _forward(self, variables, images_resized: jnp.ndarray) -> jnp.ndarray:
+        heads = self.model.apply(variables, images_resized, train=False)
         decoded = [decode_head(h, i, self.input_size) for i, h in enumerate(heads)]
         return jnp.concatenate(decoded, axis=1)  # [N, n_anchors, 5+C]
 
-    def _detect_core(self, images, threshold, nms_iou_threshold, *,
+    def _detect_core(self, variables, images, threshold, nms_iou_threshold, *,
                      max_detections: int, flip_aug: bool, flip_vertical: bool,
                      orig_h: int, orig_w: int):
         n = images.shape[0]
@@ -287,14 +287,14 @@ class PersonDetector:
             resized, ((0, 0), (hp, pad_h - hp), (wp, pad_w - wp), (0, 0)),
             constant_values=0.5)
 
-        preds = self._forward(resized)
+        preds = self._forward(variables, resized)
         if flip_aug:
-            flipped = self._forward(resized[:, :, ::-1])
+            flipped = self._forward(variables, resized[:, :, ::-1])
             fw = resized.shape[2]
             flipped = flipped.at[..., 0].set(fw - flipped[..., 0])
             preds = jnp.concatenate([preds, flipped], axis=1)
             if flip_vertical:
-                vflip = self._forward(resized[:, ::-1])
+                vflip = self._forward(variables, resized[:, ::-1])
                 fh = resized.shape[1]
                 vflip = vflip.at[..., 1].set(fh - vflip[..., 1])
                 preds = jnp.concatenate([preds, vflip], axis=1)
@@ -335,8 +335,11 @@ class PersonDetector:
                 self._detect_core, max_detections=int(max_detections),
                 flip_aug=bool(flip_aug), flip_vertical=bool(flip_vertical),
                 orig_h=orig_h, orig_w=orig_w))
+        # Weights are a jit argument, not a closure (HLO constant-embedding
+        # breaks remote compilation for large models).
         return self._jitted[key](
-            images, jnp.float32(threshold), jnp.float32(nms_iou_threshold))
+            self.variables, images, jnp.float32(threshold),
+            jnp.float32(nms_iou_threshold))
 
 
 def load_darknet_weights(model: YOLOv4, variables: dict, path: str) -> dict:

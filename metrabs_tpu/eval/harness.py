@@ -31,14 +31,21 @@ from metrabs_tpu.utils.joint_info import JointInfo
 def predict_dataset(
         crop_model_fn: Callable, examples: Sequence[Example3D],
         joint_info: JointInfo, cfg: ModelConfig, *,
-        batch_size: int = 64, n_workers: int = 8,
+        crop_model_state=None, batch_size: int = 64, n_workers: int = 8,
         test_time_mirror_aug: bool = False,
         lcfg: Optional[LoadConfig] = None) -> Dict[str, np.ndarray]:
     """Runs the crop model over a test set; returns stacked predictions in the
     ORIGINAL camera and world frames (`main.py:485-507` PredTransform logic).
 
-    crop_model_fn(crops [N,S,S,3], intrinsics [N,3,3], valid [N]) -> [N,J,3].
+    crop_model_fn(crops [N,S,S,3], intrinsics [N,3,3], valid [N]) -> [N,J,3],
+    or the 4-argument form crop_model_fn(state, crops, intrinsics, valid) with
+    `crop_model_state` supplied (preferred: weights stay jit arguments rather
+    than HLO constants).
     """
+    import inspect
+    if len(inspect.signature(crop_model_fn).parameters) == 3:
+        legacy = crop_model_fn
+        crop_model_fn = lambda state, c, k, v: legacy(c, k, v)
     lcfg = lcfg or LoadConfig(
         geom_aug=False, occlude_aug_prob=0, color_aug=False,
         background_aug_prob=0, partial_visibility_prob=0)
@@ -54,12 +61,12 @@ def predict_dataset(
     mirror = jnp.asarray(joint_info.mirror_mapping)
 
     @jax.jit
-    def predict_batch(images, intrinsics):
+    def predict_batch(state, images, intrinsics):
         crops = images.astype(jnp.dtype(cfg.dtype))
         valid = jnp.ones((images.shape[0],), bool)
-        poses = crop_model_fn(crops, intrinsics, valid)
+        poses = crop_model_fn(state, crops, intrinsics, valid)
         if test_time_mirror_aug:
-            flipped = crop_model_fn(crops[:, :, ::-1], intrinsics, valid)
+            flipped = crop_model_fn(state, crops[:, :, ::-1], intrinsics, valid)
             # Mirror back: negate camera-space x, swap left/right joints,
             # then average (`models/metrabs.py:416-435`).
             flipped = (flipped * jnp.asarray([-1.0, 1.0, 1.0]))[:, mirror]
@@ -76,7 +83,8 @@ def predict_dataset(
             break
         take = min(len(batch['image']), n_total - n_done)
         poses = np.asarray(predict_batch(
-            jnp.asarray(batch['image']), jnp.asarray(batch['intrinsics'])))
+            crop_model_state, jnp.asarray(batch['image']),
+            jnp.asarray(batch['intrinsics'])))
         for i in range(take):
             # Crop camera -> original camera / world (`main.py:496-507`).
             rot_oc = batch['rot_to_orig_cam'][i]

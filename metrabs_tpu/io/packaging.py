@@ -88,8 +88,9 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         dtype=jnp.dtype(cfg.dtype))
     model = Metrabs(cfg=cfg, backbone=backbone)
 
-    def crop_model_fn(crops, intrinsics, sample_valid):
-        return model.apply(crop_variables, crops, intrinsics, train=False,
+    def crop_model_fn(state, crops, intrinsics, sample_valid):
+        # state as argument, not closure: keeps weights out of the HLO.
+        return model.apply(state, crops, intrinsics, train=False,
                            sample_valid=sample_valid)
 
     detector = None
@@ -119,4 +120,5 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
     return PoseEstimator(
         crop_model_fn, joint_info, cfg, aug_cfg=aug_cfg, detector=detector,
         skeleton_registry=skeleton_registry, bone_mean_lengths=bone_means,
-        joint_transform_matrix=joint_transform)
+        joint_transform_matrix=joint_transform,
+        crop_model_state=crop_variables)

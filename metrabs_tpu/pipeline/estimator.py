@@ -111,17 +111,21 @@ def estimate_poses_batched_fn(
         joint_transform_matrix: Optional[np.ndarray] = None):
     """Builds the core batched estimation function.
 
-    `crop_model_fn(crops_f[N,S,S,3], intrinsics[N,3,3], sample_valid[N])
-    -> poses3d[N,J,3]` is the raw crop model (params already bound), mirroring
-    the L5->L3 interface `crop_model.predict_multi`
-    (`multiperson_model.py:305-307`) plus a padding-validity mask that keeps
-    garbage crops out of the reconstruction's pooled RMS normalization.
+    `crop_model_fn(crop_state, crops_f[N,S,S,3], intrinsics[N,3,3],
+    sample_valid[N]) -> poses3d[N,J,3]` is the raw crop model, mirroring the
+    L5->L3 interface `crop_model.predict_multi` (`multiperson_model.py:
+    305-307`) plus a padding-validity mask that keeps garbage crops out of the
+    reconstruction's pooled RMS normalization. `crop_state` (the model's
+    variables pytree) is threaded through as a jit ARGUMENT — closing over
+    parameters would embed them as constants in the HLO, which breaks
+    remote compilation (HTTP 413 on the tunnel) and bloats executables.
     """
     cfg = spec.cfg
     res = cfg.proc_side
 
-    def fn(images, boxes, box_valid, intrinsic_matrix, distortion_coeffs,
-           extrinsic_matrix, world_up_vector, default_fov_degrees,
+    def fn(crop_state, images, boxes, box_valid, intrinsic_matrix,
+           distortion_coeffs, extrinsic_matrix, world_up_vector,
+           default_fov_degrees,
            *, num_aug: int, average_aug: bool, antialias_factor: int,
            internal_batch_size: int, skeleton_indices: Tuple[int, ...],
            suppress_implausible_poses: bool) -> Dict[str, jnp.ndarray]:
@@ -203,8 +207,8 @@ def estimate_poses_batched_fn(
             crops = crops ** jnp.repeat(gammas / 2.2, n_box)[:, None, None, None]
 
             poses_flat = crop_model_fn(
-                crops.astype(jnp.dtype(cfg.dtype)), new_k.reshape(-1, 3, 3),
-                jnp.tile(valid_c, (num_aug,)))
+                crop_state, crops.astype(jnp.dtype(cfg.dtype)),
+                new_k.reshape(-1, 3, 3), jnp.tile(valid_c, (num_aug,)))
             poses = poses_flat.reshape(num_aug, n_box, spec.n_joints_model, 3)
 
             # Undo the horizontal flip: reorder left/right joints
@@ -292,14 +296,27 @@ class PoseEstimator:
             aug_cfg: AugConfig = AugConfig(), detector=None,
             skeleton_registry: Optional[SkeletonRegistry] = None,
             bone_mean_lengths: Optional[np.ndarray] = None,
-            joint_transform_matrix: Optional[np.ndarray] = None):
+            joint_transform_matrix: Optional[np.ndarray] = None,
+            crop_model_state=None):
+        """`crop_model_fn(crop_state, crops, intrinsics, sample_valid)` with
+        the model variables passed via `crop_model_state` (preferred: keeps
+        weights out of the compiled program). A legacy 3-argument closure
+        (weights bound inside) is also accepted with crop_model_state=None."""
         self.cfg = cfg
         self._aug_cfg = aug_cfg
         self.joint_info = joint_info
         self.detector = detector
+        import inspect
+        n_args = len(inspect.signature(crop_model_fn).parameters)
+        if n_args == 3:
+            legacy_fn = crop_model_fn
+            crop_model_fn = lambda state, c, k, v: legacy_fn(c, k, v)
+        self.crop_model_state = crop_model_state
         # The raw crop model (the reference's `crop_model.predict_multi`
         # surface), exposed for crop-level benchmark prediction.
-        self.crop_model_fn = crop_model_fn
+        self._crop_model_fn_with_state = crop_model_fn
+        self.crop_model_fn = (
+            lambda c, k, v: crop_model_fn(self.crop_model_state, c, k, v))
         self.skeletons = skeleton_registry or SkeletonRegistry(joint_info)
         self.per_skeleton_joint_names = self.skeletons.per_skeleton_joint_names
         self.per_skeleton_joint_edges = self.skeletons.per_skeleton_joint_edges
@@ -413,10 +430,10 @@ class PoseEstimator:
             internal_batch_size=int(internal_batch_size),
             skeleton_indices=tuple(int(i) for i in self.skeletons.indices(skeleton)),
             suppress_implausible_poses=bool(suppress))
-        return fn(images, jnp.asarray(boxes5), jnp.asarray(box_valid),
-                  jnp.asarray(intrinsic_matrix), jnp.asarray(distortion_coeffs),
-                  jnp.asarray(extrinsic_matrix), jnp.asarray(world_up_vector),
-                  jnp.float32(default_fov_degrees))
+        return fn(self.crop_model_state, images, jnp.asarray(boxes5),
+                  jnp.asarray(box_valid), jnp.asarray(intrinsic_matrix),
+                  jnp.asarray(distortion_coeffs), jnp.asarray(extrinsic_matrix),
+                  jnp.asarray(world_up_vector), jnp.float32(default_fov_degrees))
 
     # ---- single-image wrappers (`multiperson_model.py:465-529`) ----
 
