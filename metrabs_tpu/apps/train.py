@@ -1,0 +1,201 @@
+"""Training driver CLI (the `metrabs_tf/main.py --train` equivalent).
+
+Wires the data pipeline, sharded train step, checkpointing, EMA, metrics
+logging and final export into one entry point. Datasets come in as pickles of
+Example3D / Example2D lists (one file per dataset for round-robin mixing).
+
+  python -m metrabs_tpu.apps.train \
+      --ds3d h36m.pkl,muco.pkl --ds2d mpii.pkl,coco.pkl \
+      --checkpoint-dir runs/exp1 --training-steps 400000 \
+      --backbone efficientnetv2-s [--sections 4,6 --sections2d 8,8] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--ds3d', required=True, help='comma-separated Example3D pickles')
+    p.add_argument('--ds2d', required=True, help='comma-separated Example2D pickles')
+    p.add_argument('--sections', default=None,
+                   help='round-robin counts per 3D dataset (default: equal split)')
+    p.add_argument('--sections2d', default=None)
+    p.add_argument('--checkpoint-dir', required=True)
+    p.add_argument('--backbone', default='efficientnetv2-s')
+    p.add_argument('--proc-side', type=int, default=256)
+    p.add_argument('--depth', type=int, default=8)
+    p.add_argument('--n-joints', type=int, default=17)
+    p.add_argument('--batch-size', type=int, default=32)
+    p.add_argument('--batch-size-2d', type=int, default=32)
+    p.add_argument('--training-steps', type=int, default=400_000)
+    p.add_argument('--base-learning-rate', type=float, default=2.121e-4)
+    p.add_argument('--grad-accum-steps', type=int, default=1)
+    p.add_argument('--ema-momentum', type=float, default=1.0)
+    p.add_argument('--dual-finetune-lr', action='store_true')
+    p.add_argument('--ghost-bn-splits', type=int, default=1)
+    p.add_argument('--seed', type=int, default=1)
+    p.add_argument('--workers', type=int, default=12)
+    p.add_argument('--checkpoint-period', type=int, default=2000)
+    p.add_argument('--log-period', type=int, default=100)
+    p.add_argument('--load-path', default=None)
+    p.add_argument('--init-path', default=None)
+    p.add_argument('--export-dir', default=None)
+    p.add_argument('--dtype', default='bfloat16')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metrabs_tpu.config import AugConfig, ModelConfig, TrainConfig
+    from metrabs_tpu.data.loading import LoadConfig, load_and_transform2d, \
+        load_and_transform3d
+    from metrabs_tpu.data.pipeline import (
+        ParallelBatchLoader, roundrobin_iterate)
+    from metrabs_tpu.io import checkpoints as ckpt_mod
+    from metrabs_tpu.io.packaging import save_pose_estimator_package
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.parallel import mesh as mesh_mod
+    from metrabs_tpu.pipeline.skeletons import H36M_17, LSP_14, SkeletonRegistry
+    from metrabs_tpu.train import loop as loop_mod, optim
+
+    cfg = ModelConfig(
+        proc_side=args.proc_side, depth=args.depth, n_joints=args.n_joints,
+        dtype=args.dtype, backbone=args.backbone)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, batch_size_2d=args.batch_size_2d,
+        training_steps=args.training_steps,
+        base_learning_rate=args.base_learning_rate,
+        grad_accum_steps=args.grad_accum_steps,
+        ema_momentum=args.ema_momentum, dual_finetune_lr=args.dual_finetune_lr,
+        ghost_bn_splits=(args.ghost_bn_splits,), seed=args.seed)
+
+    # Joint sets: 3D = model joints (H36M-17 built-in; packaged sets via
+    # skeleton registry), 2D = LSP-14-compatible weak annotations.
+    joint_info3d, joint_info2d = H36M_17, LSP_14
+
+    # Data streams.
+    def load_lists(spec):
+        lists = []
+        for path in spec.split(','):
+            with open(path, 'rb') as f:
+                lists.append(pickle.load(f))
+        return lists
+
+    lists3d = load_lists(args.ds3d)
+    lists2d = load_lists(args.ds2d)
+    rng_np = np.random.default_rng(args.seed)
+
+    def sections(spec, n_lists, total):
+        if spec:
+            out = [int(x) for x in spec.split(',')]
+            assert len(out) == n_lists and sum(out) == total, (out, total)
+            return out
+        base = total // n_lists
+        out = [base] * n_lists
+        out[0] += total - base * n_lists
+        return out
+
+    it3d = roundrobin_iterate(
+        lists3d, sections(args.sections, len(lists3d), args.batch_size), rng_np)
+    it2d = roundrobin_iterate(
+        lists2d, sections(args.sections2d, len(lists2d), args.batch_size_2d),
+        rng_np)
+
+    lcfg = LoadConfig()
+    loader3 = ParallelBatchLoader(
+        lambda ex, r: load_and_transform3d(ex, joint_info3d, True, r, cfg, lcfg),
+        it3d, batch_size=args.batch_size, n_workers=args.workers, seed=args.seed)
+    loader2 = ParallelBatchLoader(
+        lambda ex, r: load_and_transform2d(ex, joint_info2d, True, r, cfg, lcfg),
+        it2d, batch_size=args.batch_size_2d, n_workers=args.workers,
+        seed=args.seed + 1)
+
+    # Model + optimizer + sharded step.
+    model = Metrabs(cfg=cfg, backbone=build_backbone(
+        cfg.backbone, ghost_splits=args.ghost_bn_splits,
+        dtype=jnp.dtype(cfg.dtype)))
+    tx = optim.build_optimizer(tcfg)
+    state = loop_mod.create_train_state(
+        model, tx, jax.random.PRNGKey(args.seed), cfg)
+    step_fn = loop_mod.make_train_step(
+        model, tx, joint_info3d, joint_info2d, cfg, tcfg)
+    mesh = mesh_mod.make_mesh()
+    sharded_step = loop_mod.make_sharded_train_step(step_fn, mesh)
+
+    # Checkpoint restore (precedence: load_path > latest > init_path).
+    manager = ckpt_mod.make_checkpoint_manager(
+        args.checkpoint_dir, save_interval_steps=args.checkpoint_period)
+    restored, start_step = ckpt_mod.restore_train_state(
+        manager, jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state),
+        load_path=args.load_path, init_path=args.init_path)
+    if restored is not None:
+        state = restored
+        print(f'restored checkpoint at step {start_step}', flush=True)
+
+    log_path = os.path.join(args.checkpoint_dir, 'train_log.jsonl')
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed + 2)
+
+    def batch_fields(b, keys):
+        return {k: jnp.asarray(v) for k, v in b.items() if k in keys}
+
+    total_steps = args.training_steps * args.grad_accum_steps
+    t_last = time.time()
+    try:
+        with mesh:
+            for i in range(int(state.step), total_steps):
+                b3 = batch_fields(next(loader3), (
+                    'image', 'intrinsics', 'coords3d_true',
+                    'joint_validity_mask'))
+                b2 = batch_fields(next(loader2), (
+                    'image', 'intrinsics', 'coords2d_true',
+                    'joint_validity_mask'))
+                state, losses = sharded_step(
+                    state, b3, b2, jax.random.fold_in(rng, i))
+                if (i + 1) % args.log_period == 0:
+                    loss = float(losses['loss'])
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    rec = dict(step=i + 1, loss=loss,
+                               steps_per_sec=args.log_period / dt)
+                    print(json.dumps(rec), flush=True)
+                    with open(log_path, 'a') as f:
+                        f.write(json.dumps(rec) + '\n')
+                manager.save(i + 1, args=__import__(
+                    'orbax.checkpoint', fromlist=['args']).args.StandardSave(state))
+    finally:
+        # Always save on interrupt (`main.py:155-157`).
+        ckpt_mod.save_train_state(manager, int(state.step), state)
+        manager.wait_until_finished()
+        loader3.close()
+        loader2.close()
+
+    if args.export_dir:
+        variables = {'params': state.ema_params
+                     if tcfg.ema_momentum < 1 else state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        save_pose_estimator_package(
+            args.export_dir, cfg=cfg, aug_cfg=AugConfig(),
+            crop_model_variables=variables, joint_info=joint_info3d,
+            skeleton_registry=SkeletonRegistry(joint_info3d))
+        print(f'exported package to {args.export_dir}')
+
+
+if __name__ == '__main__':
+    main()

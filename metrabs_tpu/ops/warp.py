@@ -64,7 +64,9 @@ def bilinear_gather(
     # border-constant-zero like the reference (`warping.py:83-90`).
     padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
     hp, wp = h + 2, w + 2
-    flat = padded.reshape(n_images * hp * wp, c)
+    # Channel-MAJOR flat layout [C, T]: a [T, 3] array would be padded to 128
+    # lanes on TPU (42x memory blowup) and gathers on it crawl.
+    flat = padded.transpose(3, 0, 1, 2).reshape(c, n_images * hp * wp)
 
     x = coords_xy[..., 0] + 1.0
     y = coords_xy[..., 1] + 1.0
@@ -84,10 +86,13 @@ def bilinear_gather(
     idx10 = idx00 + wp
     idx11 = idx10 + 1
 
-    g = lambda idx: jnp.take(flat, idx, axis=0)
+    g = lambda idx: jnp.take(flat, idx, axis=1)  # [C, n, oh, ow]
+    fx = fx[..., 0][jnp.newaxis]
+    fy = fy[..., 0][jnp.newaxis]
     top = g(idx00) * (1 - fx) + g(idx01) * fx
     bottom = g(idx10) * (1 - fx) + g(idx11) * fx
-    return top * (1 - fy) + bottom * fy
+    out = top * (1 - fy) + bottom * fy
+    return jnp.transpose(out, (1, 2, 3, 0))  # [n, oh, ow, C]
 
 
 def warp_coords(
@@ -146,10 +151,11 @@ def build_flat_pyramid(images: jnp.ndarray, n_levels: int):
     for lv in levels:
         hp, wp = lv.shape[1], lv.shape[2]
         level_info.append((offset, hp, wp))
-        flats.append(lv.reshape(n, hp * wp, c))
+        # Channel-major [C, n, hp*wp]: see bilinear_gather layout note.
+        flats.append(lv.transpose(3, 0, 1, 2).reshape(c, n, hp * wp))
         offset += hp * wp
-    flat = jnp.concatenate(flats, axis=1)  # [n, total_len, c]
-    return flat.reshape(n * offset, c), level_info, offset
+    flat = jnp.concatenate(flats, axis=2)  # [c, n, total_len]
+    return flat.reshape(c, n * offset), level_info, offset
 
 
 def bilinear_gather_flat(
@@ -157,10 +163,10 @@ def bilinear_gather_flat(
         wp: jnp.ndarray, coords_xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample from a flattened padded image region.
 
-    flat: [total, C]; per crop: base_offset [N] (start of the crop's source
-    image+level region), hp/wp [N] (that region's padded dims), coords_xy
-    [N, oh, ow, 2] in UNPADDED source pixels. Zero-border semantics as in
-    `bilinear_gather`.
+    flat: [C, total] channel-major; per crop: base_offset [N] (start of the
+    crop's source image+level region), hp/wp [N] (that region's padded dims),
+    coords_xy [N, oh, ow, 2] in UNPADDED source pixels. Zero-border semantics
+    as in `bilinear_gather`.
     """
     x = coords_xy[..., 0] + 1.0
     y = coords_xy[..., 1] + 1.0
@@ -180,10 +186,13 @@ def bilinear_gather_flat(
     idx10 = idx00 + wp[:, None, None]
     idx11 = idx10 + 1
 
-    g = lambda idx: jnp.take(flat, idx, axis=0)
+    g = lambda idx: jnp.take(flat, idx, axis=1)  # [C, N, oh, ow]
+    fx = fx[..., 0][jnp.newaxis]
+    fy = fy[..., 0][jnp.newaxis]
     top = g(idx00) * (1 - fx) + g(idx01) * fx
     bottom = g(idx10) * (1 - fx) + g(idx11) * fx
-    return top * (1 - fy) + bottom * fy
+    out = top * (1 - fy) + bottom * fy
+    return jnp.transpose(out, (1, 2, 3, 0))
 
 
 def warp_images_with_pyramid(

@@ -16,14 +16,20 @@ sys.path.insert(0, '/root/repo')
 
 
 def bench(fn, *args, iters=10):
+    """Times with a host read per call (reliable over the tunnel); reports
+    the min to strip RTT jitter. Absolute values include one round trip —
+    use for relative stage attribution."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    import numpy as np
+    jax.block_until_ready(fn(*args))
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x.ravel()[0]) if hasattr(x, 'ravel') else x, out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
