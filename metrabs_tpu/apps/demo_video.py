@@ -48,13 +48,18 @@ def main(argv=None):
     n_frames = 0
     n_poses_total = 0
     batch = []
-    while True:
+    done = False
+    while not done:
         ok, frame = cap.read()
         if ok:
             batch.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        if (not ok and not batch) or (args.max_frames and n_frames >= args.max_frames):
-            break
-        if len(batch) == args.frame_batch or (not ok and batch):
+        # Stop reading when the stream ends or the frame budget is reached,
+        # but always flush the pending partial batch first.
+        done = (not ok) or bool(
+            args.max_frames and n_frames + len(batch) >= args.max_frames)
+        if done and args.max_frames:
+            batch = batch[:max(0, args.max_frames - n_frames)]
+        if batch and (len(batch) == args.frame_batch or done):
             images = np.stack(batch)
             if estimator.detector is not None:
                 result = estimator.detect_poses_batched(
@@ -82,8 +87,6 @@ def main(argv=None):
                     writer.write(cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
             n_frames += len(batch)
             batch = []
-        if not ok:
-            break
     cap.release()
     if writer is not None:
         writer.release()

@@ -179,8 +179,12 @@ def main(argv=None):
                 manager.save(i + 1, args=__import__(
                     'orbax.checkpoint', fromlist=['args']).args.StandardSave(state))
     finally:
-        # Always save on interrupt (`main.py:155-157`).
-        ckpt_mod.save_train_state(manager, int(state.step), state)
+        # Always save on interrupt (`main.py:155-157`); force=True because
+        # the manager's save_interval_steps would silently skip off-interval
+        # steps otherwise.
+        import orbax.checkpoint as ocp
+        manager.save(int(state.step), args=ocp.args.StandardSave(state),
+                     force=True)
         manager.wait_until_finished()
         loader3.close()
         loader2.close()

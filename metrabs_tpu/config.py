@@ -32,6 +32,11 @@ class ModelConfig:
     mix_3d_inside_fov: float = 0.5
     weak_perspective: bool = False
     backbone: str = 'mobilenetv3-small'
+    # nn.scan-stacked repeated backbone blocks (fast compiles). Set False for
+    # the flat blocks_{i} parameter layout that the torch weight importer
+    # produces (io/weights_import.py); the value is recorded in packaged
+    # model manifests so load_pose_estimator rebuilds the matching layout.
+    backbone_scan_blocks: bool = True
     model_class: str = 'Metrabs'
     # Number of joints the head predicts (reference: joint_info.n_joints).
     n_joints: int = 17

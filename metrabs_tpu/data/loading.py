@@ -107,6 +107,14 @@ def load_and_transform3d(
     world_coords = ex.world_coords
     box = np.asarray(ex.bbox, np.float32)
 
+    camera = ex.camera
+    if 'sailvos' in ex.image_path.lower():
+        # SAILVOS world coordinates reach kilometers; recenter on the camera
+        # to keep float32 precision (`data_loading.py:32-39`).
+        world_coords = world_coords - camera.t
+        camera = camera.copy()
+        camera.t[:] = 0
+
     # Partial visibility augmentation (`data_loading.py:53-57`).
     if ((is_train or lcfg.test_aug)
             and partial_visi_rng.random() < lcfg.partial_visibility_prob):
@@ -122,11 +130,11 @@ def load_and_transform3d(
 
     sidepoints = _box_sidepoints(box, center_point)
 
-    cam = ex.camera.copy()
+    cam = camera.copy()
     cam.turn_towards(target_image_point=center_point)
     cam.undistort()
     cam.square_pixels()
-    cam_sidepoints = reproject_image_points(sidepoints, ex.camera, cam)
+    cam_sidepoints = reproject_image_points(sidepoints, camera, cam)
     crop_side = np.linalg.norm(cam_sidepoints[0] - cam_sidepoints[1])
     cam.zoom(output_side / crop_side)
     cam.center_principal_point(output_imshape)
@@ -155,7 +163,7 @@ def load_and_transform3d(
     origsize_im = ex.image if ex.image is not None else improc.imread(ex.image_path)
     antialias = lcfg.antialias_train if is_train else lcfg.antialias_test
     im = reproject_image(
-        origsize_im, ex.camera, cam, output_imshape,
+        origsize_im, camera, cam, output_imshape,
         antialias_factor=antialias, interp=lcfg.interpolation)
 
     # Dataset-specific color fixes (`data_loading.py:124-130`).
@@ -176,7 +184,7 @@ def load_and_transform3d(
         bg_prob = 0.2 if has_realistic_bg else lcfg.background_aug_prob
         if (is_train or lcfg.test_aug) and background_rng.random() < bg_prob:
             fgmask = reproject_image(
-                ex.mask.astype(np.float32), ex.camera, cam, output_imshape,
+                ex.mask.astype(np.float32), camera, cam, output_imshape,
                 antialias_factor=antialias, interp=lcfg.interpolation)
             im = bgaug.augment_background(
                 im, fgmask, background_rng, background_dir=lcfg.background_dir,
@@ -194,7 +202,7 @@ def load_and_transform3d(
              np.any(imcoords >= cfg.proc_side, axis=-1)], axis=0)
     joint_validity_mask = ~np.any(np.isnan(camcoords), axis=-1)
 
-    rot_to_orig_cam = ex.camera.R @ cam.R.T
+    rot_to_orig_cam = camera.R @ cam.R.T
     rot_to_world = cam.R.T
     if not np.all(np.isfinite(cam.intrinsic_matrix)):
         # A non-finite bbox/camera silently poisons gradients steps later;

@@ -58,6 +58,8 @@ class ParallelBatchLoader:
     def __init__(self, load_fn: Callable, example_iter: Iterator,
                  batch_size: int, *, n_workers: int = 8, seed: int = 0,
                  use_processes: bool = False, prefetch_batches: int = 2):
+        if batch_size < 1:
+            raise ValueError(f'batch_size must be >= 1, got {batch_size}')
         self._load_fn = load_fn
         self._examples = example_iter
         self._batch_size = batch_size

@@ -54,6 +54,9 @@ def predict_dataset(
         return load_and_transform3d(ex, joint_info, False, rng, cfg, lcfg)
 
     n_total = len(examples)
+    if n_total == 0:
+        raise ValueError('predict_dataset called with an empty example list '
+                         '(did the dataset adapter match any files?)')
     loader = ParallelBatchLoader(
         load_fn, iter(list(examples)), batch_size=min(batch_size, n_total),
         n_workers=n_workers)

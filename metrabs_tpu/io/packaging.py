@@ -85,7 +85,7 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         os.path.join(directory, 'crop_model.msgpack'))['variables']
     backbone = (backbone_builder or build_backbone)(
         cfg.backbone, centered_stride=cfg.centered_stride,
-        dtype=jnp.dtype(cfg.dtype))
+        dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks)
     model = Metrabs(cfg=cfg, backbone=backbone)
 
     def crop_model_fn(state, crops, intrinsics, sample_valid):

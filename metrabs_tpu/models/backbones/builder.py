@@ -23,12 +23,13 @@ from metrabs_tpu.models.backbones.tiny import TinyBackbone
 
 
 def build_backbone(name: str, *, centered_stride: bool = True,
-                   ghost_splits: int = 1, dtype: Any = jnp.bfloat16) -> nn.Module:
+                   ghost_splits: int = 1, dtype: Any = jnp.bfloat16,
+                   scan_blocks: bool = True) -> nn.Module:
     name = name.lower().replace('_', '-')
     if name.startswith('efficientnetv2'):
         return EfficientNetV2(
             model_name=name, centered_stride=centered_stride,
-            ghost_splits=ghost_splits, dtype=dtype)
+            ghost_splits=ghost_splits, dtype=dtype, scan_blocks=scan_blocks)
     if name.startswith('resnet'):
         m = re.match(r'resnet(\d+)(v1-5|v2)?(?:-stride(\d+))?$', name)
         if not m:

@@ -89,8 +89,6 @@ def reconstruct_ref_fullpersp(
     whole (ragged, hence padding-free) batch (`tfu3d.py:180-183`); with padded
     fixed-shape batches the garbage crops must not perturb the shared scale.
     """
-    n_points = normalized_2d.shape[-2]
-
     def rms_normalize(x):
         if sample_valid is None:
             scale = jnp.sqrt(jnp.mean(jnp.square(x)))

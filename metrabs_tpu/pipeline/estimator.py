@@ -42,8 +42,6 @@ from metrabs_tpu.pipeline import tta as tta_mod
 from metrabs_tpu.pipeline.skeletons import SkeletonRegistry
 from metrabs_tpu.utils.joint_info import JointInfo
 
-UNKNOWN_INTRINSICS = -jnp.ones((3, 3), jnp.float32)
-
 # Default mean bone lengths (mm) for the built-in h36m_17 skeleton's edges,
 # used by the plausibility filter. The reference loads these from a dataset
 # pickle frozen into the SavedModel (`plausibility_check.py:12-16`); they are
@@ -223,7 +221,12 @@ def estimate_poses_batched_fn(
 
         chunk_inputs = (k_flat, dist_flat, boxes_flat, R_noaug, box_scales,
                         image_ids, valid_flat)
-        boxes_per_chunk = max(internal_batch_size // max(num_aug, 1), 1)
+        # internal_batch_size < num_aug means chunking cannot help; run one
+        # fused batch like the reference's boxes_per_batch==0 fallback
+        # (`multiperson_model.py:254-259`).
+        boxes_per_chunk = internal_batch_size // max(num_aug, 1)
+        if boxes_per_chunk == 0:
+            boxes_per_chunk = n_total
         if n_total <= boxes_per_chunk:
             poses3d_flat = predict_chunk(chunk_inputs)
         else:

@@ -76,8 +76,9 @@ def is_pose_consistent_with_box(pose2d: jnp.ndarray, box: jnp.ndarray) -> jnp.nd
 
 def compute_pose_similarity(poses: jnp.ndarray) -> jnp.ndarray:
     """Pairwise scale-aligned pose similarity in [0, 1]
-    (`plausibility_check.py:49-63`): mean over the closest quarter of joints
-    of relu(1 - dist/300mm). poses: [n, J, 3] -> [n, n]."""
+    (`plausibility_check.py:49-63`): mean over the FARTHEST quarter of joints
+    of relu(1 - dist/300mm) — two poses only count as duplicates when even
+    their most-different joints are close. poses: [n, J, 3] -> [n, n]."""
     n_joints = poses.shape[-2]
     square_scales = jnp.mean(jnp.square(poses), axis=(-2, -1), keepdims=True)  # [n,1,1]
     s1 = square_scales[jnp.newaxis, :]   # [1, n, 1, 1]
@@ -89,8 +90,8 @@ def compute_pose_similarity(poses: jnp.ndarray) -> jnp.ndarray:
     p2 = poses[:, jnp.newaxis]
     dists = jnp.linalg.norm(f1 * p1 - f2 * p2, axis=-1)  # [n, n, J]
     k = max(n_joints // 4, 1)
-    best, _ = jax.lax.top_k(-dists, k)  # closest quarter
-    return jnp.mean(jax.nn.relu(1 + best / 300.0), axis=-1)
+    worst, _ = jax.lax.top_k(dists, k)  # farthest quarter
+    return jnp.mean(jax.nn.relu(1 - worst / 300.0), axis=-1)
 
 
 def pose_non_max_suppression(

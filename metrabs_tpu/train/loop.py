@@ -116,10 +116,6 @@ def make_sharded_train_step(train_step, mesh):
 
     batch_sh = NamedSharding(mesh, P('data'))
     repl = NamedSharding(mesh, P())
-
-    def shard_tree(tree, sharding):
-        return jax.tree_util.tree_map(lambda _: sharding, tree)
-
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_sh, batch_sh, repl),

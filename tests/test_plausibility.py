@@ -80,3 +80,21 @@ def test_pose_nms_respects_validity(rng):
     keep = np.asarray(plausibility.pose_non_max_suppression(
         jnp.asarray(poses), jnp.asarray(scores), jnp.asarray(valid)))
     np.testing.assert_array_equal(keep, [False, True])
+
+
+def test_pose_nms_keeps_nearby_distinct_people(rng):
+    """Two people close together but with clearly different limb poses must
+    NOT be merged: similarity uses the FARTHEST quarter of joints
+    (`plausibility_check.py:62` takes top_k of distances)."""
+    base = make_plausible_pose(rng)
+    other = make_plausible_pose(rng)  # same bone stats, different directions
+    # Same location (torso overlaps), different articulation.
+    other = other - other.mean(0) + base.mean(0)
+    poses = np.stack([base, other]).astype(np.float32)
+    # Sanity: some joints nearly coincide, others are far.
+    dists = np.linalg.norm(base - other, axis=-1)
+    assert dists.min() < 300 < dists.max()
+    keep = np.asarray(plausibility.pose_non_max_suppression(
+        jnp.asarray(poses), jnp.asarray([0.9, 0.8], np.float32),
+        jnp.ones(2, bool)))
+    np.testing.assert_array_equal(keep, [True, True])
