@@ -128,13 +128,22 @@ BENCHMARK_PROTOCOLS = {
 
 def evaluate_predictions(
         preds: Dict[str, np.ndarray], joint_info: Optional[JointInfo] = None,
-        threshold_mm: float = 150.0) -> Dict[str, float]:
-    """Computes the standard metric table from a predict_dataset dump."""
+        threshold_mm: float = 150.0,
+        joint_subset: Optional[Sequence[int]] = None) -> Dict[str, float]:
+    """Computes the standard metric table from a predict_dataset dump.
+
+    `joint_subset` restricts evaluation to the given joint indices (e.g. the
+    3DPW protocol's 14 LSP-like joints or 3DHP's 17-joint subset)."""
+    pred = preds['poses3d_pred_cam']
+    true = preds['poses3d_true_cam']
+    mask = preds['joint_validity_mask']
+    if joint_subset is not None:
+        idx = np.asarray(joint_subset)
+        pred, true, mask = pred[:, idx], true[:, idx], mask[:, idx]
     m = metrics_mod.compute_pose3d_metrics(
-        jnp.asarray(preds['poses3d_pred_cam']),
-        jnp.asarray(preds['poses3d_true_cam']),
-        jnp.asarray(preds['joint_validity_mask']),
-        joint_info=joint_info, threshold_mm=threshold_mm)
+        jnp.asarray(pred), jnp.asarray(true), jnp.asarray(mask),
+        joint_info=joint_info if joint_subset is None else None,
+        threshold_mm=threshold_mm)
     return {k: float(v) for k, v in m.items()}
 
 

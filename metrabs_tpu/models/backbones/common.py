@@ -101,7 +101,10 @@ def stochastic_depth(x: jnp.ndarray, residual: jnp.ndarray,
     mask_shape = (residual.shape[0],) + (1,) * (residual.ndim - 1)
     p = jnp.clip(jnp.asarray(survival_prob, jnp.float32), 1e-6, 1.0)
     keep = jax.random.bernoulli(rng, p, mask_shape)
-    return x + jnp.where(keep, residual / p, 0.0)
+    # Stay in the residual dtype: promoting to f32 here changes the scanned
+    # block's carry type (scan requires carry-in == carry-out).
+    scaled = residual / p.astype(residual.dtype)
+    return x + jnp.where(keep, scaled, jnp.zeros_like(scaled))
 
 
 # --- Per-family input preprocessing (`backbones/builder.py:99-117`).
