@@ -152,19 +152,27 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 2)
 
     def batch_fields(b, keys):
-        return {k: jnp.asarray(v) for k, v in b.items() if k in keys}
+        return {k: v for k, v in b.items() if k in keys}
+
+    # Double-buffered device feeding: batches are put to the device (sharded
+    # over the mesh's data axis) one step ahead of consumption.
+    from metrabs_tpu.data.pipeline import device_prefetch
+    from metrabs_tpu.parallel.mesh import batch_sharding
+    sharding = batch_sharding(mesh)
+    feed3 = device_prefetch(
+        (batch_fields(b, ('image', 'intrinsics', 'coords3d_true',
+                          'joint_validity_mask')) for b in loader3), sharding)
+    feed2 = device_prefetch(
+        (batch_fields(b, ('image', 'intrinsics', 'coords2d_true',
+                          'joint_validity_mask')) for b in loader2), sharding)
 
     total_steps = args.training_steps * args.grad_accum_steps
     t_last = time.time()
     try:
         with mesh:
             for i in range(int(state.step), total_steps):
-                b3 = batch_fields(next(loader3), (
-                    'image', 'intrinsics', 'coords3d_true',
-                    'joint_validity_mask'))
-                b2 = batch_fields(next(loader2), (
-                    'image', 'intrinsics', 'coords2d_true',
-                    'joint_validity_mask'))
+                b3 = next(feed3)
+                b2 = next(feed2)
                 state, losses = sharded_step(
                     state, b3, b2, jax.random.fold_in(rng, i))
                 if (i + 1) % args.log_period == 0:
@@ -183,8 +191,10 @@ def main(argv=None):
         # the manager's save_interval_steps would silently skip off-interval
         # steps otherwise.
         import orbax.checkpoint as ocp
-        manager.save(int(state.step), args=ocp.args.StandardSave(state),
-                     force=True)
+        final_step = int(state.step)
+        if manager.latest_step() != final_step:
+            manager.save(final_step, args=ocp.args.StandardSave(state),
+                         force=True)
         manager.wait_until_finished()
         loader3.close()
         loader2.close()

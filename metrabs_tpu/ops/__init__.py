@@ -14,3 +14,7 @@ from metrabs_tpu.ops.reconstruct import (
     reconstruct_ref_fullpersp, reconstruct_ref_weakpersp)
 from metrabs_tpu.ops.rotation import lookat_rotation_matrix, rotation_mat
 from metrabs_tpu.ops.heatmap_decode import decode_heatmap, soft_argmax, softmax_multi_axis
+from metrabs_tpu.ops.lm_solver import (
+    optimize_z_offset_by_bones, reconstruct_absolute_by_bone_lengths)
+from metrabs_tpu.ops.warp import (
+    bilinear_gather, warp_coords, warp_images, warp_images_with_pyramid)
