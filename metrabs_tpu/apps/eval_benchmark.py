@@ -46,7 +46,7 @@ def main(argv=None):
     # The packaged estimator's raw crop model is the prediction engine
     # (the reference's --predict path also runs crop-level, `main.py:439-482`).
     preds = predict_dataset(
-        estimator._crop_model_fn_with_state, examples, estimator.joint_info,
+        estimator.crop_model_fn_with_state, examples, estimator.joint_info,
         estimator.cfg, crop_model_state=estimator.crop_model_state,
         batch_size=args.batch_size, n_workers=args.workers,
         test_time_mirror_aug=args.mirror_aug)

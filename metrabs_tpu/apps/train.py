@@ -59,6 +59,8 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    import orbax.checkpoint as ocp
+
     from metrabs_tpu.config import AugConfig, ModelConfig, TrainConfig
     from metrabs_tpu.data.loading import LoadConfig, load_and_transform2d, \
         load_and_transform3d
@@ -184,13 +186,12 @@ def main(argv=None):
                     print(json.dumps(rec), flush=True)
                     with open(log_path, 'a') as f:
                         f.write(json.dumps(rec) + '\n')
-                manager.save(i + 1, args=__import__(
-                    'orbax.checkpoint', fromlist=['args']).args.StandardSave(state))
+                if manager.should_save(i + 1):
+                    manager.save(i + 1, args=ocp.args.StandardSave(state))
     finally:
         # Always save on interrupt (`main.py:155-157`); force=True because
         # the manager's save_interval_steps would silently skip off-interval
         # steps otherwise.
-        import orbax.checkpoint as ocp
         final_step = int(state.step)
         if manager.latest_step() != final_step:
             manager.save(final_step, args=ocp.args.StandardSave(state),

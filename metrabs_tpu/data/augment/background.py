@@ -16,6 +16,7 @@ from typing import List, Optional
 import cv2
 import numpy as np
 
+from metrabs_tpu.data.boxes import random_uniform_disc
 from metrabs_tpu.data.camera import Camera, reproject_image
 
 
@@ -69,10 +70,7 @@ def augment_background(
                  * np.max(np.asarray(im.shape[:2])
                           / np.asarray(background_im.shape[:2])))
     cam_new.center_principal_point(im.shape)
-    angle = rng.uniform(0, 2 * np.pi)
-    radius = np.sqrt(rng.uniform(0, 1))
-    shift = radius * np.array([np.cos(angle), np.sin(angle)]) * im.shape[0] * 0.1
-    cam_new.shift_image(shift)
+    cam_new.shift_image(random_uniform_disc(rng) * im.shape[0] * 0.1)
 
     warped_bg = reproject_image(
         background_im, cam, cam_new, im.shape[:2], interp=interp,

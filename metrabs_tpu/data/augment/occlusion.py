@@ -21,6 +21,7 @@ import cv2
 import numpy as np
 
 from metrabs_tpu.data.augment import color as coloraug
+from metrabs_tpu.data.improc import resize_by_factor
 
 
 def random_erase(im: np.ndarray, rng: np.random.Generator,
@@ -110,13 +111,6 @@ def load_occluders(occluder_dir: Optional[str] = None):
             return occluders
     rng = np.random.default_rng(12345)
     return [_make_synthetic_occluder(rng) for _ in range(200)]
-
-
-def resize_by_factor(im: np.ndarray, factor: float) -> np.ndarray:
-    new_size = (max(1, int(round(im.shape[1] * factor))),
-                max(1, int(round(im.shape[0] * factor))))
-    interp = cv2.INTER_LINEAR if factor > 1 else cv2.INTER_AREA
-    return cv2.resize(im, new_size, interpolation=interp)
 
 
 def object_occlude(im: np.ndarray, rng: np.random.Generator,

@@ -34,6 +34,13 @@ def full_box(imshape):
     return np.array([0, 0, imshape[1], imshape[0]], np.float32)
 
 
+def random_uniform_disc(rng: np.random.Generator) -> np.ndarray:
+    """Uniform sample from the unit disc (shift augmentation direction)."""
+    angle = rng.uniform(-np.pi, np.pi)
+    radius = np.sqrt(rng.uniform(0, 1))
+    return radius * np.array([np.cos(angle), np.sin(angle)])
+
+
 def random_partial_subbox(box, rng: np.random.Generator):
     """Random sub-box covering 45-75% of the side length, as used for
     partial-visibility augmentation (boxlib semantics via

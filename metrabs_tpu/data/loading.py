@@ -74,12 +74,6 @@ class LoadConfig:
     background_dir: Optional[str] = None
 
 
-def _random_uniform_disc(rng: np.random.Generator) -> np.ndarray:
-    angle = rng.uniform(-np.pi, np.pi)
-    radius = np.sqrt(rng.uniform(0, 1))
-    return radius * np.array([np.cos(angle), np.sin(angle)])
-
-
 def _new_rng(rng: np.random.Generator) -> np.random.Generator:
     return np.random.default_rng(rng.integers(np.iinfo(np.int64).max))
 
@@ -126,7 +120,7 @@ def load_and_transform3d(
     do_geom_aug = lcfg.geom_aug and (is_train or lcfg.test_aug)
     if do_geom_aug:
         center_point = center_point + (
-            _random_uniform_disc(geom_rng) * lcfg.shift_aug / 100 * crop_side)
+            boxlib.random_uniform_disc(geom_rng) * lcfg.shift_aug / 100 * crop_side)
 
     sidepoints = _box_sidepoints(box, center_point)
 
@@ -242,7 +236,7 @@ def load_and_transform2d(
     center_point = boxlib.center(bbox)
     if lcfg.geom_aug:
         center_point = center_point + (
-            _random_uniform_disc(geom_rng) * lcfg.shift_aug / 100 * crop_side)
+            boxlib.random_uniform_disc(geom_rng) * lcfg.shift_aug / 100 * crop_side)
 
     has_3d_camera = ex.camera is not None
     orig_cam = (ex.camera if has_3d_camera

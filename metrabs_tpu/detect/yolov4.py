@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from metrabs_tpu.ops.nms import greedy_nms
+
 # COCO-trained YOLOv4 anchors (pixels at 416 input) and decode scales, per the
 # reference detector's tflite repo conventions.
 ANCHORS = np.array(
@@ -221,24 +223,8 @@ def box_iou_xywh(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def box_nms(boxes_xywh: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
             iou_threshold: float, max_output: int) -> jnp.ndarray:
     """Greedy IoU NMS over fixed-shape candidates; returns a keep mask."""
-    n = boxes_xywh.shape[0]
     iou = box_iou_xywh(boxes_xywh, boxes_xywh)
-    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
-
-    def body(i, state):
-        alive, keep, n_kept = state
-        idx = order[i]
-        can_keep = jnp.logical_and(
-            jnp.logical_and(alive[idx], valid[idx]), n_kept < max_output)
-        keep = keep.at[idx].set(can_keep)
-        n_kept = n_kept + can_keep.astype(jnp.int32)
-        suppress = jnp.logical_and(can_keep, iou[idx] > iou_threshold)
-        alive = jnp.logical_and(alive, jnp.logical_not(suppress))
-        return alive, keep, n_kept
-
-    state = (jnp.ones((n,), bool), jnp.zeros((n,), bool), jnp.int32(0))
-    _, keep, _ = jax.lax.fori_loop(0, n, body, state)
-    return keep
+    return greedy_nms(iou, scores, valid, iou_threshold, max_output)
 
 
 @dataclasses.dataclass

@@ -317,7 +317,7 @@ class PoseEstimator:
         self.crop_model_state = crop_model_state
         # The raw crop model (the reference's `crop_model.predict_multi`
         # surface), exposed for crop-level benchmark prediction.
-        self._crop_model_fn_with_state = crop_model_fn
+        self.crop_model_fn_with_state = crop_model_fn
         self.crop_model_fn = (
             lambda c, k, v: crop_model_fn(self.crop_model_state, c, k, v))
         self.skeletons = skeleton_registry or SkeletonRegistry(joint_info)

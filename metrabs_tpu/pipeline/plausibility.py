@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from metrabs_tpu.ops.nms import greedy_nms
+
 
 def is_pose_plausible(
         poses: jnp.ndarray, joint2bone_mat: jnp.ndarray,
@@ -104,26 +106,9 @@ def pose_non_max_suppression(
     suppress everything with similarity > threshold to it. Invalid poses are
     never kept and never suppress others.
     """
-    n = poses.shape[0]
     similarity = compute_pose_similarity(poses)
-    order = jnp.argsort(-jnp.where(is_pose_valid, scores, -jnp.inf))
-
-    def body(i, state):
-        alive, keep, n_kept = state
-        idx = order[i]
-        can_keep = jnp.logical_and(
-            jnp.logical_and(alive[idx], is_pose_valid[idx]),
-            n_kept < max_output)
-        keep = keep.at[idx].set(can_keep)
-        n_kept = n_kept + can_keep.astype(jnp.int32)
-        suppress = jnp.logical_and(can_keep, similarity[idx] > overlap_threshold)
-        alive = jnp.logical_and(alive, jnp.logical_not(suppress))
-        return alive, keep, n_kept
-
-    alive0 = jnp.ones((n,), bool)
-    keep0 = jnp.zeros((n,), bool)
-    alive, keep, _ = jax.lax.fori_loop(0, n, body, (alive0, keep0, jnp.int32(0)))
-    return keep
+    return greedy_nms(similarity, scores, is_pose_valid,
+                      overlap_threshold, max_output)
 
 
 def suppress_implausible_poses(
