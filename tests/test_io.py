@@ -1,0 +1,105 @@
+"""IO round-trips: checkpoints, packaging manifest, skeleton pickles,
+dataset adapters."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrabs_tpu.data.camera import Camera
+from metrabs_tpu.data.datasets import boxes_from_joints, load_3dpw_examples
+from metrabs_tpu.io import checkpoints as ckpt_mod
+from metrabs_tpu.io.checkpoints import export_model_msgpack, load_model_msgpack
+from metrabs_tpu.pipeline.skeletons import (
+    H36M_17, SkeletonRegistry, load_skeleton_infos)
+
+
+def test_msgpack_roundtrip(tmp_path, rng):
+    variables = {'params': {'w': rng.normal(size=(4, 4)).astype(np.float32),
+                            'b': rng.normal(size=(4,)).astype(np.float32)}}
+    path = str(tmp_path / 'model.msgpack')
+    export_model_msgpack(path, variables, metadata={'note': 'test'})
+    loaded = load_model_msgpack(path)
+    np.testing.assert_allclose(loaded['variables']['params']['w'],
+                               variables['params']['w'])
+    assert loaded['metadata']['note'] == 'test'
+
+
+def test_checkpoint_save_restore(tmp_path):
+    from metrabs_tpu.config import ModelConfig, TrainConfig
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.train import loop as loop_mod, optim
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=8, dtype=jnp.float32))
+    tx = optim.build_optimizer(TrainConfig(training_steps=10))
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+    state = state.replace(step=jnp.int32(7)) if hasattr(state, 'replace') else state
+
+    manager = ckpt_mod.make_checkpoint_manager(str(tmp_path / 'ckpt'),
+                                               save_interval_steps=1)
+    ckpt_mod.save_train_state(manager, 7, state)
+    manager.wait_until_finished()
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state)
+    restored, step = ckpt_mod.restore_train_state(manager, abstract)
+    assert step == 7
+    orig = jax.tree_util.tree_leaves(state.params)
+    new = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(orig, new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_skeleton_infos_pickle_roundtrip(tmp_path):
+    reg = SkeletonRegistry(H36M_17)
+    raw = {name: dict(indices=list(reg.indices(name)),
+                      names=list(reg.joint_names(name)),
+                      edges=[list(e) for e in reg.joint_edges(name)])
+           for name in reg.skeleton_names}
+    path = str(tmp_path / 'skeleton_infos.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(raw, f)
+    infos = load_skeleton_infos(path)
+    reg2 = SkeletonRegistry(H36M_17, infos)
+    for name in reg.skeleton_names:
+        np.testing.assert_array_equal(reg.indices(name), reg2.indices(name))
+        assert reg.joint_names(name) == reg2.joint_names(name)
+
+
+def test_3dpw_adapter(tmp_path, rng):
+    """Synthetic 3DPW sequence pickle exercises the adapter's unit and
+    extrinsics conventions."""
+    n_frames = 3
+    K = np.array([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1]], np.float64)
+    # Two tracks of SMPL-24 world joints in METERS.
+    jp = [rng.normal(size=(n_frames, 24 * 3)) * 0.3 + [0, 0, 4] * 24
+          for _ in range(2)]
+    cam_poses = np.tile(np.eye(4)[None], (n_frames, 1, 1))
+    cam_poses[:, 2, 3] = 0.0
+    seq = dict(sequence='testseq', cam_intrinsics=K,
+               jointPositions=jp, cam_poses=cam_poses,
+               campose_valid=np.ones((2, n_frames), bool))
+    seq_dir = tmp_path / 'sequenceFiles' / 'test'
+    os.makedirs(seq_dir)
+    with open(seq_dir / 'testseq.pkl', 'wb') as f:
+        pickle.dump(seq, f)
+
+    examples = load_3dpw_examples(str(tmp_path), 'test')
+    assert len(examples) == n_frames * 2
+    ex = examples[0]
+    assert ex.world_coords.shape == (24, 3)
+    # Meters -> millimeters.
+    assert 2000 < np.nanmean(ex.world_coords[:, 2]) < 6000
+    assert ex.bbox[2] > 0 and ex.bbox[3] > 0
+    assert 'image_00000.jpg' in ex.image_path
+
+
+def test_boxes_from_joints_handles_nan(rng):
+    pts = rng.uniform(100, 200, size=(10, 2)).astype(np.float32)
+    pts[3] = np.nan
+    box = boxes_from_joints(pts)
+    assert np.all(np.isfinite(box)) and box[2] > 0
