@@ -300,12 +300,19 @@ class PoseEstimator:
             skeleton_registry: Optional[SkeletonRegistry] = None,
             bone_mean_lengths: Optional[np.ndarray] = None,
             joint_transform_matrix: Optional[np.ndarray] = None,
-            crop_model_state=None):
+            crop_model_state=None, mesh=None):
         """`crop_model_fn(crop_state, crops, intrinsics, sample_valid)` with
         the model variables passed via `crop_model_state` (preferred: keeps
         weights out of the compiled program). A legacy 3-argument closure
-        (weights bound inside) is also accepted with crop_model_state=None."""
+        (weights bound inside) is also accepted with crop_model_state=None.
+
+        With `mesh` (a jax.sharding.Mesh with a 'data' axis), inference is
+        data-parallel: the image/box batch is sharded over 'data' and model
+        state replicated — detect/estimate scale across chips with no other
+        changes (the multi-chip serving analogue of the reference's
+        single-node MirroredStrategy, SURVEY §2.10)."""
         self.cfg = cfg
+        self._mesh = mesh
         self._aug_cfg = aug_cfg
         self.joint_info = joint_info
         self.detector = detector
@@ -343,8 +350,19 @@ class PoseEstimator:
     def _get_jitted(self, **static_kwargs):
         key = tuple(sorted(static_kwargs.items()))
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                functools.partial(self._core, **static_kwargs))
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self._mesh, P())
+                batch = NamedSharding(self._mesh, P('data'))
+                self._jitted[key] = jax.jit(
+                    functools.partial(self._core, **static_kwargs),
+                    # (crop_state, images, boxes, box_valid, K, dist, ext,
+                    #  world_up, fov): batch-dim args sharded, rest replicated.
+                    in_shardings=(repl, batch, batch, batch, batch, batch,
+                                  batch, repl, repl))
+            else:
+                self._jitted[key] = jax.jit(
+                    functools.partial(self._core, **static_kwargs))
         return self._jitted[key]
 
     def _prepare_camera_args(self, n_images, intrinsic_matrix, distortion_coeffs,
