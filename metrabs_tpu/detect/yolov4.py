@@ -76,25 +76,52 @@ class ConvBlock(nn.Module):
         return x
 
 
+class _ResScanBody(nn.Module):
+    """Scan body for repeated CSP residual blocks (weights stacked)."""
+    f1: int
+    f2: int
+    dtype: Any
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        shortcut = carry
+        x = ConvBlock(filters=self.f1, kernel=1, activation='mish',
+                      dtype=self.dtype, name='conv_a')(carry, self.train)
+        x = ConvBlock(filters=self.f2, kernel=3, activation='mish',
+                      dtype=self.dtype, name='conv_b')(x, self.train)
+        return shortcut + x, None
+
+
 class YOLOv4(nn.Module):
     """Full YOLOv4: [N, S, S, 3] float in [0,1] -> per-scale raw head outputs.
 
     Convolutions are instantiated strictly in darknet cfg order; `conv_93`,
     `conv_101`, `conv_109` are the three output convs (bias, no BN), matching
-    the canonical weight-file layout.
+    the canonical weight-file layout. With scan_repeats (default), the
+    repeated CSP residual blocks are ONE nn.scan module each (named
+    `res_scan_<first_conv_idx>_<n>`; conv numbering of everything else is
+    unchanged) — compile-time win; `load_darknet_weights` targets the flat
+    layout (scan_repeats=False) and `yolo_flat_to_scanned` converts.
     """
 
     num_classes: int = NUM_CLASSES
     dtype: Any = jnp.float32
+    scan_repeats: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        idx = iter(range(1000))
+        counter = [0]
+
+        def next_idx():
+            i = counter[0]
+            counter[0] += 1
+            return i
 
         def conv(x, filters, kernel, stride=1, act='mish', bn=True):
             return ConvBlock(
                 filters=filters, kernel=kernel, stride=stride, activation=act,
-                use_bn=bn, dtype=self.dtype, name=f'conv_{next(idx)}')(x, train)
+                use_bn=bn, dtype=self.dtype, name=f'conv_{next_idx()}')(x, train)
 
         def res_block(x, f1, f2, act='mish'):
             shortcut = x
@@ -102,13 +129,30 @@ class YOLOv4(nn.Module):
             x = conv(x, f2, 3, act=act)
             return shortcut + x
 
+        def res_blocks(x, n_blocks, f1, f2):
+            if self.scan_repeats and n_blocks >= 2:
+                start = counter[0]
+                counter[0] += 2 * n_blocks  # keep downstream numbering stable
+                scanned = nn.scan(
+                    _ResScanBody,
+                    variable_axes={'params': 0, 'batch_stats': 0},
+                    split_rngs={'params': True},
+                    length=n_blocks,
+                    metadata_params={nn.PARTITION_NAME: None})(
+                    f1=f1, f2=f2, dtype=self.dtype, train=train,
+                    name=f'res_scan_{start}_{n_blocks}')
+                x, _ = scanned(x, None)
+                return x
+            for _ in range(n_blocks):
+                x = res_block(x, f1, f2)
+            return x
+
         def csp_stage(x, down_filters, n_blocks, res_f1, res_f2, out_filters,
                       split_filters):
             x = conv(x, down_filters, 3, stride=2)
             route = conv(x, split_filters, 1)
             x = conv(x, split_filters, 1)
-            for _ in range(n_blocks):
-                x = res_block(x, res_f1, res_f2)
+            x = res_blocks(x, n_blocks, res_f1, res_f2)
             x = conv(x, split_filters, 1)
             x = jnp.concatenate([x, route], axis=-1)
             return conv(x, out_filters, 1)
@@ -328,8 +372,39 @@ class PersonDetector:
             jnp.float32(nms_iou_threshold))
 
 
+def yolo_flat_to_scanned(flat_variables: dict, scanned_template: dict) -> dict:
+    """Restructures flat-layout YOLOv4 variables (darknet import target) into
+    the scan_repeats layout: each `res_scan_<start>_<n>` group stacks
+    conv_{start+2k} -> conv_a and conv_{start+2k+1} -> conv_b."""
+    import re
+
+    import flax
+
+    flat_src = flax.traverse_util.flatten_dict(flat_variables)
+    flat_dst = dict(flax.traverse_util.flatten_dict(scanned_template))
+    for key in list(flat_dst):
+        collection, module = key[0], key[1]
+        m = re.match(r'res_scan_(\d+)_(\d+)$', module)
+        if m:
+            start, n = int(m.group(1)), int(m.group(2))
+            which, rest = key[2], key[3:]
+            offset = 0 if which == 'conv_a' else 1
+            stacked = np.stack([
+                np.asarray(flat_src[(collection, f'conv_{start + 2 * k + offset}')
+                                    + rest])
+                for k in range(n)])
+            flat_dst[key] = jnp.asarray(
+                stacked, np.asarray(flat_dst[key]).dtype)
+        elif key in flat_src:
+            flat_dst[key] = flat_src[key]
+    return flax.traverse_util.unflatten_dict(flat_dst)
+
+
 def load_darknet_weights(model: YOLOv4, variables: dict, path: str) -> dict:
     """Imports the original `yolov4.weights` release file.
+
+    `model`/`variables` must use scan_repeats=False (the flat conv_{i}
+    layout); convert for a scanned model with `yolo_flat_to_scanned`.
 
     darknet layout: 5 int32 header, then per conv section in cfg order:
     [bn: beta, gamma, mean, var][conv: OIHW] or [bias][conv: OIHW] for the

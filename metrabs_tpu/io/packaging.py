@@ -30,6 +30,7 @@ def save_pose_estimator_package(
         directory: str, *, cfg: ModelConfig, aug_cfg: AugConfig,
         crop_model_variables: Any, joint_info: JointInfo,
         detector_variables: Optional[Any] = None,
+        detector_scan_repeats: bool = True,
         skeleton_registry: Optional[SkeletonRegistry] = None,
         bone_mean_lengths: Optional[np.ndarray] = None,
         joint_transform_matrix: Optional[np.ndarray] = None) -> None:
@@ -59,6 +60,7 @@ def save_pose_estimator_package(
         joint_names=list(joint_info.names),
         joint_edges=[list(map(int, e)) for e in joint_info.edges],
         has_detector=detector_variables is not None,
+        detector_scan_repeats=detector_scan_repeats,
         has_joint_transform=joint_transform_matrix is not None,
         bone_mean_lengths=(
             [float(x) for x in bone_mean_lengths]
@@ -98,7 +100,9 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4
         det_variables = load_model_msgpack(
             os.path.join(directory, 'detector.msgpack'))['variables']
-        detector = PersonDetector(YOLOv4(), det_variables)
+        detector = PersonDetector(
+            YOLOv4(scan_repeats=manifest.get('detector_scan_repeats', True)),
+            det_variables)
 
     skeleton_registry = None
     if manifest.get('skeletons'):

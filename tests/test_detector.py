@@ -76,9 +76,9 @@ def test_detector_flip_aug_runs(tiny_detector, rng):
 
 
 def test_darknet_conv_count():
-    """YOLOv4 must have exactly 110 conv sections with outputs at 93/101/109
-    (the canonical darknet layout the weight importer assumes)."""
-    model = yolov4.YOLOv4(num_classes=80, dtype=jnp.float32)
+    """YOLOv4 (flat layout) must have exactly 110 conv sections with outputs
+    at 93/101/109 (the canonical darknet layout the importer assumes)."""
+    model = yolov4.YOLOv4(num_classes=80, dtype=jnp.float32, scan_repeats=False)
     x = jnp.zeros((1, 96, 96, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     params = variables['params']
@@ -86,3 +86,19 @@ def test_darknet_conv_count():
     assert conv_ids == list(range(110)), (len(conv_ids), conv_ids[-5:])
     no_bn = [i for i in conv_ids if 'bn' not in params[f'conv_{i}']]
     assert no_bn == [93, 101, 109], no_bn
+
+
+def test_yolo_flat_to_scanned_equivalence(rng):
+    """Scanned and flat YOLOv4 produce identical outputs for converted
+    weights."""
+    x = jnp.asarray(rng.uniform(size=(1, 96, 96, 3)), jnp.float32)
+    flat = yolov4.YOLOv4(dtype=jnp.float32, scan_repeats=False)
+    flat_vars = flat.init(jax.random.PRNGKey(3), x, train=False)
+    scanned = yolov4.YOLOv4(dtype=jnp.float32, scan_repeats=True)
+    template = scanned.init(jax.random.PRNGKey(0), x, train=False)
+    converted = yolov4.yolo_flat_to_scanned(flat_vars, template)
+    out_f = flat.apply(flat_vars, x, train=False)
+    out_s = scanned.apply(converted, x, train=False)
+    for a, b in zip(out_f, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
