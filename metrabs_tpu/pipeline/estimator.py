@@ -420,20 +420,71 @@ class PoseEstimator:
             antialias_factor=1, num_aug=5, average_aug=True, skeleton='',
             detector_threshold=0.3, detector_nms_iou_threshold=0.7,
             max_detections=16, detector_flip_aug=False,
-            suppress_implausible_poses=True):
+            suppress_implausible_poses=True, fused=True):
+        """Detection + estimation. With `fused` (default) both run as ONE
+        jit-compiled program — no host round-trip between the detector and
+        the estimator (the reference's single-SavedModel-graph property,
+        `multiperson_model.py:60-73`)."""
         if self.detector is None:
             raise ValueError('No detector attached to this estimator.')
-        boxes5, box_valid = self.detector.detect_batched(
-            images, threshold=detector_threshold,
-            nms_iou_threshold=detector_nms_iou_threshold,
-            max_detections=max_detections, flip_aug=detector_flip_aug,
-            flip_vertical=(detector_flip_aug
-                           and self._aug_cfg.detector_flip_vertical_too))
-        return self._run(
-            images, boxes5, box_valid, intrinsic_matrix, distortion_coeffs,
-            extrinsic_matrix, world_up_vector, default_fov_degrees,
-            internal_batch_size, antialias_factor, num_aug, average_aug,
-            skeleton, suppress=suppress_implausible_poses)
+        flip_vertical = (detector_flip_aug
+                         and self._aug_cfg.detector_flip_vertical_too)
+        if not fused:
+            boxes5, box_valid = self.detector.detect_batched(
+                images, threshold=detector_threshold,
+                nms_iou_threshold=detector_nms_iou_threshold,
+                max_detections=max_detections, flip_aug=detector_flip_aug,
+                flip_vertical=flip_vertical)
+            return self._run(
+                images, boxes5, box_valid, intrinsic_matrix, distortion_coeffs,
+                extrinsic_matrix, world_up_vector, default_fov_degrees,
+                internal_batch_size, antialias_factor, num_aug, average_aug,
+                skeleton, suppress=suppress_implausible_poses)
+
+        images = jnp.asarray(images)
+        n_images = images.shape[0]
+        (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+         world_up_vector) = self._prepare_camera_args(
+            n_images, intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+            world_up_vector)
+        fn = self._get_fused_jitted(
+            num_aug=int(num_aug), average_aug=bool(average_aug),
+            antialias_factor=int(antialias_factor),
+            internal_batch_size=int(internal_batch_size),
+            skeleton_indices=tuple(int(i) for i in self.skeletons.indices(skeleton)),
+            suppress_implausible_poses=bool(suppress_implausible_poses),
+            max_detections=int(max_detections),
+            detector_flip_aug=bool(detector_flip_aug),
+            flip_vertical=bool(flip_vertical),
+            orig_h=int(images.shape[1]), orig_w=int(images.shape[2]))
+        return fn(self.detector.variables, self.crop_model_state, images,
+                  jnp.float32(detector_threshold),
+                  jnp.float32(detector_nms_iou_threshold),
+                  jnp.asarray(intrinsic_matrix), jnp.asarray(distortion_coeffs),
+                  jnp.asarray(extrinsic_matrix), jnp.asarray(world_up_vector),
+                  jnp.float32(default_fov_degrees))
+
+    def _get_fused_jitted(self, *, max_detections, detector_flip_aug,
+                          flip_vertical, orig_h, orig_w, **static_kwargs):
+        key = ('fused', max_detections, detector_flip_aug, flip_vertical,
+               orig_h, orig_w) + tuple(sorted(static_kwargs.items()))
+        if key not in self._jitted:
+            detector = self.detector
+
+            def fused(det_vars, crop_state, images, det_threshold, det_nms_iou,
+                      intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+                      world_up_vector, default_fov_degrees):
+                boxes5, box_valid = detector._detect_core(
+                    det_vars, images, det_threshold, det_nms_iou,
+                    max_detections=max_detections, flip_aug=detector_flip_aug,
+                    flip_vertical=flip_vertical, orig_h=orig_h, orig_w=orig_w)
+                return self._core(
+                    crop_state, images, boxes5, box_valid, intrinsic_matrix,
+                    distortion_coeffs, extrinsic_matrix, world_up_vector,
+                    default_fov_degrees, **static_kwargs)
+
+            self._jitted[key] = jax.jit(fused)
+        return self._jitted[key]
 
     def _run(self, images, boxes5, box_valid, intrinsic_matrix,
              distortion_coeffs, extrinsic_matrix, world_up_vector,

@@ -32,6 +32,11 @@ def test_efficientnetv2_s_output_shape():
     assert y.shape == (2, 2, 2, 1280)
 
 
+def test_efficientnetv2_xl_output_shape():
+    y, _ = _init_and_run('efficientnetv2-xl', size=64)
+    assert y.shape == (2, 2, 2, 1280)
+
+
 def test_efficientnetv2_stride16_resolution():
     y, _ = _init_and_run('efficientnetv2-s-stride16', size=64)
     assert y.shape == (2, 4, 4, 1280)

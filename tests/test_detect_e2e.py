@@ -65,3 +65,18 @@ def test_detect_with_flip_aug(full_estimator, rng):
         images, num_aug=1, max_detections=4, detector_threshold=0.0,
         detector_flip_aug=True, suppress_implausible_poses=False)
     assert np.asarray(out['poses3d']).shape == (1, 4, 17, 3)
+
+
+def test_fused_matches_unfused(full_estimator, rng):
+    """The single-program fused detect+estimate must equal the two-dispatch
+    path (same detector, same chunking)."""
+    images = rng.integers(0, 255, size=(1, 120, 160, 3), dtype=np.uint8)
+    kwargs = dict(num_aug=2, max_detections=4, detector_threshold=0.0,
+                  suppress_implausible_poses=True)
+    out_f = full_estimator.detect_poses_batched(images, fused=True, **kwargs)
+    out_u = full_estimator.detect_poses_batched(images, fused=False, **kwargs)
+    np.testing.assert_array_equal(np.asarray(out_f['valid']),
+                                  np.asarray(out_u['valid']))
+    np.testing.assert_allclose(np.asarray(out_f['poses3d']),
+                               np.asarray(out_u['poses3d']),
+                               rtol=1e-4, atol=0.1)
