@@ -115,6 +115,12 @@ class EvalProtocol:
     root_align: bool = True
 
 
+# Standard evaluation joint subsets (indices into the h36m_17 model joint
+# set): the 3DPW protocol's 14 LSP-like joints (limbs + neck + head).
+JOINT_SUBSETS = {
+    'lsp_14_of_h36m17': [3, 2, 1, 4, 5, 6, 16, 15, 14, 11, 12, 13, 8, 10],
+}
+
 BENCHMARK_PROTOCOLS = {
     # 3DPW: 14-joint (LSP-like) protocol, PCK@50mm also reported.
     '3dpw': EvalProtocol(name='3dpw', pck_threshold_mm=50.0),
@@ -150,3 +156,46 @@ def evaluate_predictions(
 def save_predictions_npz(path: str, preds: Dict[str, np.ndarray]) -> None:
     """NPZ prediction dump (the fleras StorePredictionsAsNPZ analogue)."""
     np.savez_compressed(path, **preds)
+
+
+def matched_pose_metrics(
+        preds_per_frame, gts_per_frame, threshold_mm: float = 150.0,
+        match_threshold_mm: float = 500.0):
+    """Multi-person matched metrics (the MuPoTS-style protocol): per frame,
+    Hungarian-match predictions to GT poses by root-relative MPJPE, then
+    report PCK over MATCHED joints plus detection recall. Unmatched GT poses
+    count as misses (all joints incorrect), mirroring the official
+    evaluation's treatment of undetected people.
+
+    preds/gts: lists (frames) of [n_i, J, 3] arrays in a common frame.
+    """
+    import scipy.optimize
+
+    n_correct = 0
+    n_total = 0
+    n_matched = 0
+    n_gt = 0
+    for preds, gts in zip(preds_per_frame, gts_per_frame):
+        n_gt += len(gts)
+        n_total += int(np.prod(np.shape(gts)[:2])) if len(gts) else 0
+        if len(gts) == 0:
+            continue
+        if len(preds) == 0:
+            continue
+        def rootrel(p):
+            return p - p.mean(axis=-2, keepdims=True)
+        cost = np.zeros((len(gts), len(preds)))
+        for i, g in enumerate(gts):
+            for j, q in enumerate(preds):
+                cost[i, j] = np.linalg.norm(
+                    rootrel(g) - rootrel(q), axis=-1).mean()
+        gi, pj = scipy.optimize.linear_sum_assignment(cost)
+        for i, j in zip(gi, pj):
+            if cost[i, j] > match_threshold_mm:
+                continue
+            n_matched += 1
+            dist = np.linalg.norm(rootrel(gts[i]) - rootrel(preds[j]), axis=-1)
+            n_correct += int((dist <= threshold_mm).sum())
+    return dict(
+        matched_pck=n_correct / max(n_total, 1),
+        recall=n_matched / max(n_gt, 1))
