@@ -36,13 +36,25 @@ def adjust_gamma(im: np.ndarray, gamma: float, inplace: bool = False) -> np.ndar
     return out
 
 
-def white_balance(im: np.ndarray, a: float = 110, b: float = 145) -> np.ndarray:
-    """Linear white balance used for 3DHP/Panoptic fixes (`improc.py:246-253`):
-    scales the red and blue channels by 255/2 / a and 255/2 / b."""
-    scale = np.array([127.5 / a, 1.0, 127.5 / b], np.float32)
-    if np.issubdtype(im.dtype, np.integer):
-        return np.clip(im.astype(np.float32) * scale, 0, 255).astype(im.dtype)
-    return np.clip(im * scale, 0, 1)
+def white_balance(im: np.ndarray, a: Optional[float] = None,
+                  b: Optional[float] = None) -> np.ndarray:
+    """LAB-space, luminance-weighted white balance (`improc.py:246-253`).
+
+    Shifts the a/b chroma channels toward neutral (128) in proportion to each
+    pixel's luminance, with gain 1.1. `a`/`b` override the measured channel
+    means (the 3DHP fix passes 110/145, Panoptic 120/138,
+    `data_loading.py:128-130`). Input must be RGB uint8; the chroma update is
+    written back into the uint8 LAB array exactly as the reference does (the
+    intermediate is truncated by numpy's unsafe cast, not rounded/clipped)."""
+    if im.dtype != np.uint8:
+        raise ValueError(f'white_balance expects uint8 RGB, got {im.dtype}')
+    lab = cv2.cvtColor(im, cv2.COLOR_RGB2LAB)
+    avg_a = np.mean(lab[..., 1]) if a is None else a
+    avg_b = np.mean(lab[..., 2]) if b is None else b
+    lum = lab[..., 0] / 255.0
+    lab[..., 1] = lab[..., 1] - (avg_a - 128) * lum * 1.1
+    lab[..., 2] = lab[..., 2] - (avg_b - 128) * lum * 1.1
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
 
 
 def resize_by_factor(im: np.ndarray, factor: float) -> np.ndarray:

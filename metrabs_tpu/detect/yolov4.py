@@ -37,6 +37,16 @@ XYSCALE = (1.2, 1.1, 1.05)
 NUM_CLASSES = 80
 PERSON_CLASS = 0
 
+# YOLOv4-tiny decode tables (the y4t configurations,
+# `docs/MODELS_6_DATASETS.md:17-18`). Two heads: stride 16 uses anchor mask
+# (1,2,3) — the canonical cfg quirk where anchor 81x82 appears in BOTH masks —
+# and stride 32 uses (3,4,5) of the 6 tiny anchors.
+ANCHORS_TINY = np.array(
+    [[(23, 27), (37, 58), (81, 82)],
+     [(81, 82), (135, 169), (344, 319)]], np.float32)
+STRIDES_TINY = (16, 32)
+XYSCALE_TINY = (1.05, 1.05)
+
 
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
@@ -228,8 +238,87 @@ class YOLOv4(nn.Module):
 
         return sbbox, mbbox, lbbox
 
+    def decode_tables(self):
+        return ANCHORS, STRIDES, XYSCALE
 
-def decode_head(raw: jnp.ndarray, scale_idx: int, input_size: int) -> jnp.ndarray:
+
+class YOLOv4Tiny(nn.Module):
+    """YOLOv4-tiny: CSPOSANet backbone + two-scale head, all leaky-relu.
+
+    Architecture per the tiny variant of the tflite fork the reference loads
+    (`metrabs_tf/multiperson/save_model.py:29`, y4t rows of
+    `docs/MODELS_6_DATASETS.md:17-18`): 21 conv sections in darknet cfg order
+    (conv_0..conv_20, output convs conv_17 stride-32 and conv_20 stride-16),
+    so `load_darknet_weights` imports the released `yolov4-tiny.weights`
+    directly. Returns (mbbox, lbbox) raw head outputs matching
+    STRIDES_TINY=(16, 32) decode order.
+    """
+
+    num_classes: int = NUM_CLASSES
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        counter = [0]
+
+        def conv(x, filters, kernel, stride=1, act='leaky', bn=True):
+            i = counter[0]
+            counter[0] += 1
+            return ConvBlock(
+                filters=filters, kernel=kernel, stride=stride, activation=act,
+                use_bn=bn, dtype=self.dtype, name=f'conv_{i}')(x, train)
+
+        def csp_osa_block(x, f):
+            # cfg: conv f 3x3; route groups=2 group_id=1 (second channel
+            # half); conv f/2 3x3; conv f/2 3x3; route -1,-2; conv f 1x1;
+            # route -6,-1; maxpool 2x2/2.
+            full = conv(x, f, 3)
+            half = full[..., f // 2:]
+            a = conv(half, f // 2, 3)
+            b = conv(a, f // 2, 3)
+            feat = conv(jnp.concatenate([b, a], axis=-1), f, 1)
+            merged = jnp.concatenate([full, feat], axis=-1)
+            return nn.max_pool(merged, (2, 2), strides=(2, 2)), feat
+
+        x = conv(x, 32, 3, stride=2)
+        x = conv(x, 64, 3, stride=2)
+        x, _ = csp_osa_block(x, 64)
+        x, _ = csp_osa_block(x, 128)
+        x, feat16 = csp_osa_block(x, 256)  # feat16 = conv_13 (stride 16)
+
+        n_out = 3 * (5 + self.num_classes)
+        x = conv(x, 512, 3)
+        r = conv(x, 256, 1)
+        lb = conv(r, 512, 3)
+        lbbox = conv(lb, n_out, 1, act='linear', bn=False)  # conv_17
+
+        x = conv(r, 128, 1)
+        x = jax.image.resize(
+            x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+            method='nearest')
+        x = jnp.concatenate([x, feat16], axis=-1)  # route -1,23
+        mb = conv(x, 256, 3)
+        mbbox = conv(mb, n_out, 1, act='linear', bn=False)  # conv_20
+
+        return mbbox, lbbox
+
+    def decode_tables(self):
+        return ANCHORS_TINY, STRIDES_TINY, XYSCALE_TINY
+
+
+def build_detector_model(kind: str, dtype=jnp.float32, scan_repeats: bool = True):
+    """Constructs the detector module for a registry `detector` string."""
+    if kind == 'yolov4':
+        return YOLOv4(dtype=dtype, scan_repeats=scan_repeats)
+    if kind == 'yolov4-tiny':
+        return YOLOv4Tiny(dtype=dtype)
+    raise ValueError(f'Unknown detector kind {kind!r}')
+
+
+def decode_head(raw: jnp.ndarray, scale_idx: int, input_size: int,
+                anchors: np.ndarray = ANCHORS,
+                strides: Sequence[int] = STRIDES,
+                xyscale: Sequence[float] = XYSCALE) -> jnp.ndarray:
     """Decodes one head's raw output to [N, n_anchors, 4+1+C]:
     (cx, cy, w, h) in input pixels, objectness, class probs."""
     n, gh, gw, _ = raw.shape
@@ -243,10 +332,10 @@ def decode_head(raw: jnp.ndarray, scale_idx: int, input_size: int) -> jnp.ndarra
     grid_y = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
     grid = jnp.stack([grid_x, grid_y], axis=-1)[None, :, :, None, :]
 
-    s = XYSCALE[scale_idx]
-    xy = (jax.nn.sigmoid(txy) * s - 0.5 * (s - 1) + grid) * STRIDES[scale_idx]
-    anchors = jnp.asarray(ANCHORS[scale_idx]) * (input_size / 416.0)
-    wh = jnp.exp(jnp.clip(twh, -20.0, 8.0)) * anchors
+    s = xyscale[scale_idx]
+    xy = (jax.nn.sigmoid(txy) * s - 0.5 * (s - 1) + grid) * strides[scale_idx]
+    anchor = jnp.asarray(anchors[scale_idx]) * (input_size / 416.0)
+    wh = jnp.exp(jnp.clip(twh, -20.0, 8.0)) * anchor
     out = jnp.concatenate([xy, wh, conf, probs], axis=-1)
     return out.reshape(n, gh * gw * 3, -1)
 
@@ -292,7 +381,10 @@ class PersonDetector:
 
     def _forward(self, variables, images_resized: jnp.ndarray) -> jnp.ndarray:
         heads = self.model.apply(variables, images_resized, train=False)
-        decoded = [decode_head(h, i, self.input_size) for i, h in enumerate(heads)]
+        anchors, strides, xyscale = self.model.decode_tables()
+        decoded = [
+            decode_head(h, i, self.input_size, anchors, strides, xyscale)
+            for i, h in enumerate(heads)]
         return jnp.concatenate(decoded, axis=1)  # [N, n_anchors, 5+C]
 
     def _detect_core(self, variables, images, threshold, nms_iou_threshold, *,

@@ -31,6 +31,7 @@ def save_pose_estimator_package(
         crop_model_variables: Any, joint_info: JointInfo,
         detector_variables: Optional[Any] = None,
         detector_scan_repeats: bool = True,
+        detector_type: str = 'yolov4',
         skeleton_registry: Optional[SkeletonRegistry] = None,
         bone_mean_lengths: Optional[np.ndarray] = None,
         joint_transform_matrix: Optional[np.ndarray] = None) -> None:
@@ -61,6 +62,7 @@ def save_pose_estimator_package(
         joint_edges=[list(map(int, e)) for e in joint_info.edges],
         has_detector=detector_variables is not None,
         detector_scan_repeats=detector_scan_repeats,
+        detector_type=detector_type,
         has_joint_transform=joint_transform_matrix is not None,
         bone_mean_lengths=(
             [float(x) for x in bone_mean_lengths]
@@ -97,11 +99,13 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
 
     detector = None
     if manifest.get('has_detector'):
-        from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4
+        from metrabs_tpu.detect.yolov4 import PersonDetector, build_detector_model
         det_variables = load_model_msgpack(
             os.path.join(directory, 'detector.msgpack'))['variables']
         detector = PersonDetector(
-            YOLOv4(scan_repeats=manifest.get('detector_scan_repeats', True)),
+            build_detector_model(
+                manifest.get('detector_type', 'yolov4'),
+                scan_repeats=manifest.get('detector_scan_repeats', True)),
             det_variables)
 
     skeleton_registry = None

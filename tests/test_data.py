@@ -157,3 +157,42 @@ def test_parallel_batch_loader(rng):
     batch = next(loader)
     assert batch['x'].shape == (4, 2)
     loader.close()
+
+
+class TestImproc:
+    """Golden tests for CPU improc against reference semantics
+    (`metrabs_tf/improc.py`)."""
+
+    def test_white_balance_golden(self):
+        # Golden values computed by a literal transcription of the reference
+        # LAB-space formula (`improc.py:246-253`): chroma channels pulled
+        # toward 128 proportionally to luminance with gain 1.1, written back
+        # through the uint8 LAB array (truncating cast), cv2 LAB<->RGB.
+        from metrabs_tpu.data import improc
+        img = np.array([[[200, 120, 80], [30, 60, 200]],
+                        [[128, 128, 128], [255, 255, 0]]], np.uint8)
+        g_3dhp = np.array([[[212, 112, 101], [19, 55, 213]],
+                           [[137, 123, 147], [255, 245, 90]]], np.uint8)
+        g_panoptic = np.array([[[205, 117, 93], [11, 59, 207]],
+                               [[131, 127, 139], [255, 251, 65]]], np.uint8)
+        g_auto = np.array([[[185, 127, 96], [0, 66, 211]],
+                           [[103, 133, 143], [226, 255, 75]]], np.uint8)
+        np.testing.assert_array_equal(improc.white_balance(img, 110, 145), g_3dhp)
+        np.testing.assert_array_equal(improc.white_balance(img, 120, 138), g_panoptic)
+        np.testing.assert_array_equal(improc.white_balance(img), g_auto)
+
+    def test_white_balance_neutral_on_gray(self):
+        # A gray image with channel means already at 128 must pass through
+        # (up to LAB round-trip quantization).
+        from metrabs_tpu.data import improc
+        img = np.full((4, 4, 3), 90, np.uint8)
+        out = improc.white_balance(img)
+        assert np.abs(out.astype(int) - 90).max() <= 2
+
+    def test_adjust_gamma_matches_lut_semantics(self):
+        # Reference LUT: (linspace(0,1,256)**gamma * 255).astype(uint8)
+        # (`improc.py:216-220`) — truncating, not rounding.
+        from metrabs_tpu.data import improc
+        img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        expected = (np.linspace(0, 1, 256) ** 0.67 * 255).astype(np.uint8)[img]
+        np.testing.assert_array_equal(improc.adjust_gamma(img, 0.67), expected)

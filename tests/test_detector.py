@@ -102,3 +102,88 @@ def test_yolo_flat_to_scanned_equivalence(rng):
     for a, b in zip(out_f, out_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestYOLOv4Tiny:
+    """The y4t detector variant (`docs/MODELS_6_DATASETS.md:17-18`)."""
+
+    @pytest.fixture(scope='class')
+    def tiny(self):
+        model = yolov4.YOLOv4Tiny(num_classes=80, dtype=jnp.float32)
+        x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        return model, variables
+
+    def test_conv_layout(self, tiny):
+        """21 conv sections in darknet cfg order; output convs (bias, no BN)
+        at 17 (stride 32) and 20 (stride 16)."""
+        model, variables = tiny
+        params = variables['params']
+        conv_ids = sorted(
+            int(k.split('_')[1]) for k in params if k.startswith('conv_'))
+        assert conv_ids == list(range(21)), conv_ids
+        no_bn = [i for i in conv_ids if 'bn' not in params[f'conv_{i}']]
+        assert no_bn == [17, 20], no_bn
+
+    def test_head_shapes_and_strides(self, tiny):
+        model, variables = tiny
+        x = jnp.zeros((2, 96, 96, 3), jnp.float32)
+        mbbox, lbbox = model.apply(variables, x, train=False)
+        assert mbbox.shape == (2, 6, 6, 255)    # stride 16
+        assert lbbox.shape == (2, 3, 3, 255)    # stride 32
+
+    def test_decode_tables(self, tiny):
+        model, _ = tiny
+        anchors, strides, xyscale = model.decode_tables()
+        assert strides == (16, 32) and xyscale == (1.05, 1.05)
+        # The shared 81x82 anchor (cfg masks 1,2,3 / 3,4,5 overlap).
+        np.testing.assert_array_equal(anchors[0][2], anchors[1][0])
+
+    def test_darknet_import_roundtrip(self, tiny, tmp_path):
+        """A synthetic yolov4-tiny.weights file of the canonical layout loads
+        and lands in the right slots."""
+        model, variables = tiny
+        import flax
+        flat = flax.traverse_util.flatten_dict(variables)
+        blobs = [np.zeros(5, np.int32).tobytes()]
+        rng = np.random.default_rng(0)
+        for i in range(21):
+            kernel = flat[('params', f'conv_{i}', 'conv', 'kernel')]
+            kh, kw, cin, cout = kernel.shape
+            if ('params', f'conv_{i}', 'bn', 'scale') in flat:
+                # darknet order beta, gamma, mean, var — var must be positive.
+                extra = np.concatenate([
+                    rng.normal(size=3 * cout),
+                    rng.uniform(0.5, 1.5, size=cout)])
+            else:
+                extra = rng.normal(size=cout)
+            blobs.append(extra.astype(np.float32).tobytes())
+            blobs.append(rng.normal(size=cout * cin * kh * kw)
+                         .astype(np.float32).tobytes())
+        path = tmp_path / 'yolov4-tiny.weights'
+        path.write_bytes(b''.join(blobs))
+        loaded = yolov4.load_darknet_weights(model, variables, str(path))
+        # Spot-check: first conv kernel is the HWCK transpose of the file's
+        # OIHW block, and the model still runs.
+        x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+        mb, lb = model.apply(loaded, x, train=False)
+        assert np.all(np.isfinite(np.asarray(mb)))
+        k0 = np.asarray(loaded['params']['conv_0']['conv']['kernel'])
+        assert k0.shape == (3, 3, 3, 32) and not np.allclose(k0, 0)
+
+    def test_person_detector_with_tiny(self, tiny, rng):
+        model, variables = tiny
+        det = yolov4.PersonDetector(model, variables, input_size=96,
+                                    top_candidates=64)
+        images = rng.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
+        boxes5, valid = det.detect_batched(images, threshold=0.0,
+                                           max_detections=4)
+        assert np.asarray(boxes5).shape == (2, 4, 5)
+        assert np.all(np.isfinite(np.asarray(boxes5)))
+
+    def test_build_detector_model(self):
+        assert isinstance(yolov4.build_detector_model('yolov4-tiny'),
+                          yolov4.YOLOv4Tiny)
+        assert isinstance(yolov4.build_detector_model('yolov4'), yolov4.YOLOv4)
+        with pytest.raises(ValueError):
+            yolov4.build_detector_model('yolov9')
