@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument('--init-path', default=None)
     p.add_argument('--export-dir', default=None)
     p.add_argument('--dtype', default='bfloat16')
+    p.add_argument('--finetune-in-inference-mode', type=int, default=0,
+                   help='freeze BN to inference mode for the final N steps '
+                        '(metrabs_tf/main.py:131-134)')
     return p.parse_args(argv)
 
 
@@ -83,7 +86,8 @@ def main(argv=None):
         base_learning_rate=args.base_learning_rate,
         grad_accum_steps=args.grad_accum_steps,
         ema_momentum=args.ema_momentum, dual_finetune_lr=args.dual_finetune_lr,
-        ghost_bn_splits=(args.ghost_bn_splits,), seed=args.seed)
+        ghost_bn_splits=(args.ghost_bn_splits,), seed=args.seed,
+        finetune_in_inference_mode=args.finetune_in_inference_mode)
 
     # Joint sets: 3D = model joints (H36M-17 built-in; packaged sets via
     # skeleton registry), 2D = LSP-14-compatible weak annotations.
@@ -129,7 +133,9 @@ def main(argv=None):
     # Model + optimizer + sharded step.
     model = Metrabs(cfg=cfg, backbone=build_backbone(
         cfg.backbone, ghost_splits=args.ghost_bn_splits,
-        dtype=jnp.dtype(cfg.dtype)))
+        dtype=jnp.dtype(cfg.dtype),
+        stride_test=(cfg.stride_test
+                     if cfg.stride_test != cfg.stride_train else None)))
     tx = optim.build_optimizer(tcfg)
     state = loop_mod.create_train_state(
         model, tx, jax.random.PRNGKey(args.seed), cfg)
@@ -137,6 +143,14 @@ def main(argv=None):
         model, tx, joint_info3d, joint_info2d, cfg, tcfg)
     mesh = mesh_mod.make_mesh()
     sharded_step = loop_mod.make_sharded_train_step(step_fn, mesh)
+    # Final-phase step with BN frozen in inference mode
+    # (`metrabs_tf/main.py:131-134`); switched in by step index below.
+    sharded_step_inf = None
+    if tcfg.finetune_in_inference_mode:
+        sharded_step_inf = loop_mod.make_sharded_train_step(
+            loop_mod.make_train_step(
+                model, tx, joint_info3d, joint_info2d, cfg, tcfg,
+                bn_inference=True), mesh)
 
     # Checkpoint restore (precedence: load_path > latest > init_path).
     manager = ckpt_mod.make_checkpoint_manager(
@@ -169,13 +183,21 @@ def main(argv=None):
                           'joint_validity_mask')) for b in loader2), sharding)
 
     total_steps = args.training_steps * args.grad_accum_steps
+    # Step index at which BN switches to frozen inference mode
+    # ((training_steps - N) * grad_accum_steps, `main.py:132-134`).
+    switch_step = total_steps + 1
+    if tcfg.finetune_in_inference_mode:
+        switch_step = ((args.training_steps - tcfg.finetune_in_inference_mode)
+                       * args.grad_accum_steps)
     t_last = time.time()
     try:
         with mesh:
             for i in range(int(state.step), total_steps):
                 b3 = next(feed3)
                 b2 = next(feed2)
-                state, losses = sharded_step(
+                active_step = (sharded_step_inf
+                               if i >= switch_step else sharded_step)
+                state, losses = active_step(
                     state, b3, b2, jax.random.fold_in(rng, i))
                 if (i + 1) % args.log_period == 0:
                     loss = float(losses['loss'])

@@ -44,6 +44,15 @@ class ModelConfig:
     # precision on GPU (`init.py:166-168`); TPU prefers bfloat16. The
     # soft-argmax decode and reconstruction always run in float32.
     dtype: str = 'bfloat16'
+    # Crop-resample backend: 'auto' picks the Pallas MXU kernel
+    # (ops/warp_pallas.py) on TPU and the XLA gather elsewhere; 'gather'
+    # forces the XLA path; 'tiled' forces the kernel; 'tiled-interpret' runs
+    # the kernel in interpreter mode (CPU tests of the TPU code path).
+    warp_backend: str = 'auto'
+    # Matmul precision inside the tiled warp: 'highest' reproduces f32
+    # bilinear weights exactly (3-pass MXU); 'default' quantizes the hat
+    # weights/pixels to bf16 (~4e-3 max pixel error, ~1.6x faster).
+    warp_precision: str = 'highest'
 
     @property
     def num_heatmap_bins(self) -> int:
@@ -85,6 +94,11 @@ class TrainConfig:
     mean_relative: bool = True
     ghost_bn_splits: Tuple[int, ...] = ()
     seed: int = 1
+    # Run the final N optimizer steps with the model in inference mode
+    # (BatchNorm uses frozen moving statistics, no dropout), matching the
+    # reference's SwitchToInferenceModeCallback recipe
+    # (`metrabs_tf/main.py:131-134`). 0 disables.
+    finetune_in_inference_mode: int = 0
     # Latent-joint / manifold fine-tuning modes (`init.py:235-251`).
     transform_coords: bool = False
     predict_all_and_latents: bool = False

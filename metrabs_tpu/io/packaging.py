@@ -89,7 +89,9 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         os.path.join(directory, 'crop_model.msgpack'))['variables']
     backbone = (backbone_builder or build_backbone)(
         cfg.backbone, centered_stride=cfg.centered_stride,
-        dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks)
+        dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks,
+        stride_test=(cfg.stride_test
+                     if cfg.stride_test != cfg.stride_train else None))
     model = Metrabs(cfg=cfg, backbone=backbone)
 
     def crop_model_fn(state, crops, intrinsics, sample_valid):

@@ -24,11 +24,26 @@ from metrabs_tpu.models.backbones.tiny import TinyBackbone
 
 def build_backbone(name: str, *, centered_stride: bool = True,
                    ghost_splits: int = 1, dtype: Any = jnp.bfloat16,
-                   scan_blocks: bool = True) -> nn.Module:
+                   scan_blocks: bool = True,
+                   stride_test: int = None) -> nn.Module:
+    """`stride_test`: test-time output stride when it differs from training
+    (the reference's TrainTestSwitch recipe, `resnet.py:31-32`,
+    `docs/TRAINING.md:17-23`). The training stride comes from the name's
+    -strideN suffix (default 32). Supported for resnet* and efficientnetv2*.
+    """
     name = name.lower().replace('_', '-')
     if name.startswith('efficientnetv2'):
+        model_name_test = None
+        if stride_test is not None:
+            m = re.match(r'(efficientnetv2-[smlx]+)(?:-stride(\d+))?$', name)
+            if not m:
+                raise ValueError(f'Cannot parse EffNetV2 name {name!r}')
+            base = m.group(1)
+            model_name_test = (base if stride_test == 32
+                               else f'{base}-stride{stride_test}')
         return EfficientNetV2(
-            model_name=name, centered_stride=centered_stride,
+            model_name=name, model_name_test=model_name_test,
+            centered_stride=centered_stride,
             ghost_splits=ghost_splits, dtype=dtype, scan_blocks=scan_blocks)
     if name.startswith('resnet'):
         m = re.match(r'resnet(\d+)(v1-5|v2)?(?:-stride(\d+))?$', name)
@@ -39,8 +54,13 @@ def build_backbone(name: str, *, centered_stride: bool = True,
         output_stride = int(m.group(3)) if m.group(3) else 32
         return ResNet(
             depth=depth, variant=variant, output_stride=output_stride,
+            output_stride_test=stride_test,
             centered_stride=centered_stride, ghost_splits=ghost_splits,
             dtype=dtype)
+    if stride_test is not None:
+        raise ValueError(
+            f'stride_test is only supported for resnet/efficientnetv2 '
+            f'backbones, got {name!r}')
     if name.startswith('mobilenetv3'):
         m = re.match(r'mobilenetv3-(small|large)(-?mini)?$', name)
         if not m:

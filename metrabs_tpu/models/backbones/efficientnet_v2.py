@@ -314,6 +314,12 @@ class EfficientNetV2(nn.Module):
     (or higher resolution for -strideN variants)."""
 
     model_name: str = 'efficientnetv2-s'
+    # Test-time plan name (e.g. the -stride16 dilated variant of the same
+    # family); None means same as training. All -strideN variants of a family
+    # share filters/counts (only s/d/br flags differ), so the parameter tree
+    # is identical and one set of weights serves both plans (the reference's
+    # TrainTestSwitchLayer recipe, `resnet.py:31-32`).
+    model_name_test: Optional[str] = None
     centered_stride: bool = True
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
@@ -324,7 +330,9 @@ class EfficientNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        blocks = expand_blocks(self.model_name)
+        plan = (self.model_name if train or not self.model_name_test
+                else self.model_name_test)
+        blocks = expand_blocks(plan)
         if not self.centered_stride:
             # The `br` bottom-right shifts exist to center-align features;
             # without centered stride they are dropped (vanilla automl /

@@ -13,9 +13,13 @@ Architecture semantics follow the reference's Keras fork
    for V1.5); V2 (preact): stride in the LAST block of conv2/3/4;
  - BN eps 1e-5 / momentum 0.997 (`resnet.py:73-74`).
 
-Train/test stride splitting (the TrainTestSwitchLayer machinery) is not
-implemented: stride_train == stride_test is assumed, which covers every
-released model configuration.
+Train/test stride splitting (the fleras TrainTestSwitchLayer /
+Conv2DDenseSame machinery, `resnet.py:31-32,626-627`) is expressed through
+the `train` flag: the stride/dilation plan is chosen at trace time from
+`output_stride` (train) vs `output_stride_test`, while the parameter tree is
+identical for both plans (stride/dilation never change kernel shapes), so the
+same weights serve both graphs — the high-res fine-tune recipe of
+`docs/TRAINING.md:17-23`.
 """
 
 from __future__ import annotations
@@ -220,6 +224,9 @@ class ResNet(nn.Module):
     depth: int = 50
     variant: str = ''
     output_stride: int = 32
+    # Test-time output stride; None means same as training. The param tree is
+    # stride-independent, so one set of weights serves both plans.
+    output_stride_test: Optional[int] = None
     centered_stride: bool = True
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
@@ -230,8 +237,10 @@ class ResNet(nn.Module):
         v2 = self.variant == 'v2' and not basic
         v1_5 = self.variant == 'v1_5' and not basic
         counts = BLOCK_COUNTS[self.depth]
+        output_stride = (self.output_stride if train or not self.output_stride_test
+                         else self.output_stride_test)
         strides, dil_in, dil_out, brs = get_strides_and_dilations(
-            self.output_stride, self.centered_stride)
+            output_stride, self.centered_stride)
 
         bn = lambda name: common.batch_norm(
             BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
@@ -250,7 +259,7 @@ class ResNet(nn.Module):
                     param_dtype=jnp.float32, name='stem_conv')(h)
         if not v2:
             h = nn.relu(bn('stem_bn')(h, train))
-        if self.output_stride == 4 and self.centered_stride:
+        if output_stride == 4 and self.centered_stride:
             h = jnp.pad(h, ((0, 0), (0, 2), (0, 2), (0, 0)),
                         constant_values=-jnp.inf)
         else:

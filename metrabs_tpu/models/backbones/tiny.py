@@ -11,10 +11,15 @@ import jax.numpy as jnp
 
 
 class TinyBackbone(nn.Module):
-    """Five stride-2 convs: [N, S, S, 3] -> [N, S/32, S/32, width]."""
+    """Five stride-2 convs: [N, S, S, 3] -> [N, S/32, S/32, width].
+
+    `use_bn` adds BatchNorm after each conv — for tests that need real
+    batch_stats (e.g. the finetune_in_inference_mode freeze semantics).
+    """
 
     width: int = 32
     dtype: Any = jnp.bfloat16
+    use_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -22,6 +27,10 @@ class TinyBackbone(nn.Module):
         for i in range(5):
             x = nn.Conv(self.width, (3, 3), strides=(2, 2), padding='SAME',
                         dtype=self.dtype, param_dtype=jnp.float32,
-                        name=f'conv{i}')(x)
+                        use_bias=not self.use_bn, name=f'conv{i}')(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name=f'bn{i}')(x)
             x = nn.relu(x)
         return x

@@ -1,0 +1,285 @@
+"""Pallas TPU kernel for the batched perspective crop warp.
+
+Replaces the 4-corner XLA gather of `ops/warp.py` (the round-1 pipeline
+bottleneck: ~3-6 ms/crop@256, scalar-gather bound) with an MXU formulation:
+bilinear sampling is a contraction of the source window against per-pixel
+hat-function weight matrices,
+
+    out[p, ch] = sum_r sum_c hat(y_p - r) * hat(x_p - c) * win[ch, r, c],
+
+evaluated per output tile as ONE [3*WIN, WIN] x [WIN, P] matmul plus a VPU
+row-reduction, with the tile's source window DMA'd from a channel-major
+pyramid canvas in HBM. All intermediates ([3*WIN, P] partial sums, weight
+matrices) live in VMEM — the equivalent pure-XLA einsum formulation
+materializes ~13 GB of [P, WIN] weights per 64-crop batch.
+
+Semantics are identical to `warp.warp_images_with_pyramid` (the reference
+contract, `metrabs_tf/multiperson/warping.py:8-91`): always-distort 12-coef
+model, zero border via 1px pad + replicate-clamp, per-crop pyramid level as
+intrinsics adjustment. Correctness is tested against the gather backend
+(tests/test_warp_pallas.py, interpret mode on CPU).
+
+Geometry of the tiling: output tiles are TR x TC = 32 x 32 pixels (square =
+rotation-invariant footprint); at in-level scale > 0.5 (guaranteed by level
+selection for crop_scale > 1/8) a tile's source span per axis is at most
+32*sqrt(2) / 0.5 + 2 (bilinear) + 2 (origin margin) = 95 px. Window origins
+are quantized to the HBM (8, 128) tiling (Mosaic slice alignment), adding up
+to 7 rows / 127 cols of slack, so the 104 x 256 window always covers the
+footprint. For crop_scale <= 1/8 (a box larger than ~8x the crop resolution —
+beyond the reference's 3-level pyramid too) samples clamp to the window edge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metrabs_tpu.ops import warp as warp_ops
+from metrabs_tpu.ops.camera import corner_aligned_scale_mat
+from metrabs_tpu.ops.distortion import pad_distortion_coeffs
+
+TR, TC = 32, 32          # output tile shape (rows, cols)
+P = TR * TC              # pixels per tile
+WIN_R = 104              # >= 95 px footprint + 7 rows of 8-alignment slack
+WIN_C = 256              # >= 95 px footprint + 127 cols of 128-alignment slack
+N_PARAMS = 32            # padded per-crop f32 parameter vector
+
+
+def _warp_tile_kernel(meta_ref, params_ref, canvas_ref, out_ref, win, sem, *,
+                      n_bx: int, precision):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    # meta is [N, T*8] (flat last axis: SMEM pads the minor dim to 128, so a
+    # [N, T, 8] layout would blow the 1 MB SMEM budget 16x).
+    img = meta_ref[n, t * 8 + 0]
+    oy_dma = meta_ref[n, t * 8 + 1]
+    ox = meta_ref[n, t * 8 + 2]
+    oy_local = meta_ref[n, t * 8 + 3]
+    wp = meta_ref[n, t * 8 + 4]
+    hp = meta_ref[n, t * 8 + 5]
+
+    dma = pltpu.make_async_copy(
+        canvas_ref.at[img, :,
+                      pl.ds(pl.multiple_of(oy_dma, 8), WIN_R),
+                      pl.ds(pl.multiple_of(ox, 128), WIN_C)],
+        win, sem)
+    dma.start()
+
+    # Output-pixel coordinates in [1, P] layout (pixels on lanes).
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    xo = ((pidx & (TC - 1)) + (t % n_bx) * TC).astype(jnp.float32)
+    yo = ((pidx >> 5) + (t // n_bx) * TR).astype(jnp.float32)
+
+    pr = lambda i: params_ref[n, i]
+    # ray = new_invprojmat @ (xo, yo, 1)
+    rx = pr(0) * xo + pr(1) * yo + pr(2)
+    ry = pr(3) * xo + pr(4) * yo + pr(5)
+    rz = pr(6) * xo + pr(7) * yo + pr(8)
+    inv_rz = 1.0 / rz
+    px = rx * inv_rz
+    py = ry * inv_rz
+    # 12-coefficient distortion (ops/distortion.py formula, scalars unrolled):
+    # distorted = p * (a + b) + c.
+    d = [pr(15 + i) for i in range(12)]
+    r2 = px * px + py * py
+    a_num = ((d[4] * r2 + d[1]) * r2 + d[0]) * r2 + 1.0
+    a_den = ((d[7] * r2 + d[6]) * r2 + d[5]) * r2 + 1.0
+    ab = a_num / a_den + 2.0 * (px * d[3] + py * d[2])
+    cx_ = (d[9] * r2 + d[3] + d[8]) * r2
+    cy_ = (d[11] * r2 + d[2] + d[10]) * r2
+    xd = px * ab + cx_
+    yd = py * ab + cy_
+    # Source pixel via the level-adjusted intrinsics (rows 0,1 of K).
+    xi = pr(9) * xd + pr(10) * yd + pr(11)
+    yi = pr(12) * xd + pr(13) * yd + pr(14)
+    # Padded-canvas coords, replicate-clamped (zero ring => zero border),
+    # then window-local.
+    x = jnp.clip(xi + 1.0, 0.0, wp.astype(jnp.float32) - 1.0)
+    y = jnp.clip(yi + 1.0, 0.0, hp.astype(jnp.float32) - 1.0)
+    xl = jnp.clip(x - ox.astype(jnp.float32), 0.0, WIN_C - 1.0)
+    yl = jnp.clip(y - oy_local.astype(jnp.float32), 0.0, WIN_R - 1.0)
+
+    iota_c = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_C, 1), 0).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_R, 1), 0).astype(jnp.float32)
+    vxt = jnp.maximum(0.0, 1.0 - jnp.abs(iota_c - xl))   # [WIN_C, P]
+    vyt = jnp.maximum(0.0, 1.0 - jnp.abs(iota_r - yl))   # [WIN_R, P]
+
+    dma.wait()
+    win2 = win[:].reshape(3 * WIN_R, WIN_C)
+    s = jnp.dot(win2, vxt, preferred_element_type=jnp.float32,
+                precision=precision)                    # [3*WIN_R, P]
+    rows = [jnp.sum(s[ch * WIN_R:(ch + 1) * WIN_R] * vyt, axis=0,
+                    keepdims=True)
+            for ch in range(3)]
+    out_ref[0, 0, :, :] = jnp.concatenate(rows, axis=0)
+
+
+def _avg_pool_2x2_chmaj(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box filter, stride 2, on channel-major [n, c, h, w]."""
+    n, c, h, w = x.shape
+    h2, w2 = h // 2, w // 2
+    x = x[:, :, :h2 * 2, :w2 * 2].reshape(n, c, h2, 2, w2, 2)
+    return x.mean(axis=(3, 5))
+
+
+def build_pyramid_canvas(images: jnp.ndarray, n_levels: int = 3,
+                         gamma_decode: bool = False):
+    """Channel-major canvas [n, 3, H_tot, Wp] stacking padded pyramid levels
+    vertically; returns (canvas, level_rows, level_dims) with level_rows the
+    per-level starting row and level_dims the (hp, wp) padded dims.
+
+    The NHWC->channel-major relayout happens ONCE, first (on uint8 when
+    `gamma_decode` folds the linearization in — 4x cheaper than transposing
+    decoded f32); all pooling/padding then runs in the TPU-friendly layout.
+    """
+    n, h, w, c = images.shape
+    chmaj = images.transpose(0, 3, 1, 2)  # the one expensive relayout
+    if gamma_decode:
+        chmaj = (chmaj.astype(jnp.float32) / 255.0) ** 2.2
+    else:
+        chmaj = chmaj.astype(jnp.float32)
+    # Lane-dim (cols) must allow 128-aligned WIN_C slices anywhere.
+    wp_canvas = -(-max(w + 2, WIN_C) // 128) * 128
+    level_rows = []
+    level_dims = []
+    offset = 0
+    padded_levels = []
+    cur = chmaj
+    for level in range(n_levels):
+        if level > 0:
+            cur = _avg_pool_2x2_chmaj(cur)
+        hp, wp = cur.shape[2] + 2, cur.shape[3] + 2
+        level_rows.append(offset)
+        level_dims.append((hp, wp))
+        # Level blocks stay 8-row-aligned so 8-aligned level-local window
+        # rows remain 8-aligned canvas rows; 1px zero ring per level.
+        block_h = -(-hp // 8) * 8
+        lv = jnp.pad(cur, ((0, 0), (0, 0), (1, block_h - cur.shape[2] - 1),
+                           (1, wp_canvas - cur.shape[3] - 1)))
+        padded_levels.append(lv)
+        offset += block_h
+    canvas = jnp.concatenate(padded_levels, axis=2)
+    # WIN_R rows of tail padding guarantee every window placement
+    # (oy_local <= hp_l - 2 for any level) stays inside the canvas.
+    canvas = jnp.pad(canvas, ((0, 0), (0, 0), (0, WIN_R), (0, 0)))
+    return canvas, np.asarray(level_rows), level_dims
+
+
+def warp_images_with_pyramid_tiled(
+        images: jnp.ndarray, intrinsic_matrix: jnp.ndarray,
+        new_invprojmat: jnp.ndarray, distortion_coeffs: jnp.ndarray,
+        crop_scales: jnp.ndarray, image_ids: jnp.ndarray,
+        output_shape: Tuple[int, int], n_pyramid_levels: int = 3,
+        interpret: bool = False,
+        precision=jax.lax.Precision.HIGHEST,
+        pyramid_canvas=None) -> jnp.ndarray:
+    """Drop-in equivalent of `warp.warp_images_with_pyramid` on the MXU.
+
+    Requires output_shape divisible by (32, 32) and float32 images.
+    `pyramid_canvas`: optional prebuilt (canvas, level_rows, level_dims) from
+    `build_pyramid_canvas` — pass it to amortize the pyramid across chunks
+    (when set, `images` may be None).
+    """
+    oh, ow = output_shape
+    if oh % TR or ow % TC:
+        raise ValueError(f'output_shape {output_shape} must tile by {(TR, TC)}')
+    n_crops = new_invprojmat.shape[0]
+    n_by, n_bx = oh // TR, ow // TC
+    n_tiles = n_by * n_bx
+
+    i_levels = jnp.floor(-jnp.log(crop_scales) / jnp.log(2.0))
+    i_levels = jnp.clip(i_levels, 0, n_pyramid_levels - 1).astype(jnp.int32)
+
+    if pyramid_canvas is None:
+        pyramid_canvas = build_pyramid_canvas(
+            images.astype(jnp.float32), n_pyramid_levels)
+    canvas, level_rows, level_dims = pyramid_canvas
+
+    k_levels = jnp.stack([
+        jnp.einsum('ij,bjk->bik', corner_aligned_scale_mat(1.0 / 2 ** level),
+                   intrinsic_matrix, precision='highest')
+        for level in range(n_pyramid_levels)], axis=0)  # [L, N, 3, 3]
+    k_sel = jnp.take_along_axis(
+        k_levels, i_levels[None, :, None, None], axis=0)[0]  # [N, 3, 3]
+
+    # Per-tile window origins from the exact coords (computed once in XLA;
+    # the kernel recomputes per-pixel coords — identical formula, so a margin
+    # of 1px covers float-association differences).
+    coords = warp_ops.warp_coords(
+        new_invprojmat, k_sel, distortion_coeffs, output_shape)  # [N,oh,ow,2]
+    hps = jnp.asarray([d[0] for d in level_dims], jnp.int32)[i_levels]  # [N]
+    wps = jnp.asarray([d[1] for d in level_dims], jnp.int32)[i_levels]
+    rows0 = jnp.asarray(level_rows, jnp.int32)[i_levels]
+
+    ct = coords.reshape(n_crops, n_by, TR, n_bx, TC, 2)
+    tmin = ct.min(axis=(2, 4))  # [N, by, bx, 2]
+    xpad_min = jnp.clip(tmin[..., 0] + 1.0, 0.0,
+                        wps[:, None, None].astype(jnp.float32) - 1.0)
+    ypad_min = jnp.clip(tmin[..., 1] + 1.0, 0.0,
+                        hps[:, None, None].astype(jnp.float32) - 1.0)
+    h_tot, w_canvas = canvas.shape[2], canvas.shape[3]
+    # Quantize origins to the (8, 128) HBM tiling (Mosaic slice alignment).
+    ox = jnp.clip(jnp.floor(xpad_min).astype(jnp.int32) - 1, 0,
+                  w_canvas - WIN_C) & ~127
+    oy_local = (jnp.floor(ypad_min).astype(jnp.int32) - 1) & ~7
+    oy_local = jnp.clip(oy_local, 0,
+                        jnp.maximum(h_tot - WIN_R - rows0[:, None, None], 0))
+    oy_dma = rows0[:, None, None] + oy_local
+
+    bcast = lambda v: jnp.broadcast_to(
+        v[:, None, None], (n_crops, n_by, n_bx)).reshape(n_crops, n_tiles)
+    meta = jnp.stack([
+        bcast(image_ids.astype(jnp.int32)),
+        oy_dma.reshape(n_crops, n_tiles),
+        ox.reshape(n_crops, n_tiles),
+        oy_local.reshape(n_crops, n_tiles),
+        bcast(wps), bcast(hps),
+        jnp.zeros((n_crops, n_tiles), jnp.int32),
+        jnp.zeros((n_crops, n_tiles), jnp.int32)], axis=-1)
+    meta = meta.reshape(n_crops, n_tiles * 8)  # flat minor axis for SMEM
+
+    dist = pad_distortion_coeffs(distortion_coeffs.astype(jnp.float32))
+    params = jnp.concatenate([
+        new_invprojmat.reshape(n_crops, 9).astype(jnp.float32),
+        k_sel[:, :2, :].reshape(n_crops, 6),
+        dist,
+        jnp.zeros((n_crops, N_PARAMS - 27), jnp.float32)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_crops, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 3, P), lambda n, t, meta: (n, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, WIN_R, WIN_C), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ])
+
+    out = pl.pallas_call(
+        functools.partial(_warp_tile_kernel, n_bx=n_bx, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_crops, n_tiles, 3, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=8 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_crops * n_tiles * 3 * WIN_R * WIN_C * P,
+            bytes_accessed=n_crops * n_tiles * (3 * WIN_R * WIN_C + 3 * P) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(meta, params, canvas)
+
+    out = out.reshape(n_crops, n_by, n_bx, 3, TR, TC)
+    out = out.transpose(0, 1, 4, 2, 5, 3)
+    return out.reshape(n_crops, oh, ow, 3)

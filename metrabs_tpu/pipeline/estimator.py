@@ -37,6 +37,7 @@ from metrabs_tpu.ops import camera as camera_ops
 from metrabs_tpu.ops import distortion as distortion_ops
 from metrabs_tpu.ops import rotation as rotation_ops
 from metrabs_tpu.ops import warp as warp_ops
+from metrabs_tpu.ops import warp_pallas
 from metrabs_tpu.pipeline import plausibility
 from metrabs_tpu.pipeline import tta as tta_mod
 from metrabs_tpu.pipeline.skeletons import SkeletonRegistry
@@ -157,7 +158,24 @@ def estimate_poses_batched_fn(
         should_flip = jnp.asarray(tta.should_flip)
 
         # Linearize gamma once for the whole image (`multiperson_model.py:252`).
-        images_lin = (images.astype(jnp.float32) / np.float32(255.0)) ** 2.2
+        # Backend choice for the crop resample: the Pallas MXU kernel
+        # (ops/warp_pallas.py) on TPU, the XLA gather otherwise. The pyramid
+        # canvas folds the gamma decode into its one NHWC->channel-major
+        # relayout (on uint8: 4x cheaper than transposing decoded f32) and is
+        # built ONCE per batch, hoisted out of the chunk loop.
+        out_side = res * antialias_factor
+        backend = cfg.warp_backend
+        if backend == 'auto':
+            backend = ('tiled' if jax.default_backend() == 'tpu'
+                       and out_side % warp_pallas.TR == 0
+                       and out_side % warp_pallas.TC == 0 else 'gather')
+        if backend.startswith('tiled'):
+            pyramid_canvas = warp_pallas.build_pyramid_canvas(
+                images, gamma_decode=True)
+            images_lin = None
+        else:
+            pyramid_canvas = None
+            images_lin = (images.astype(jnp.float32) / np.float32(255.0)) ** 2.2
 
         R_noaug, box_scales = _get_new_rotation_and_scale(
             k_flat, dist_flat, up_flat, boxes_flat, valid_flat, res)
@@ -189,15 +207,24 @@ def estimate_poses_batched_fn(
                 new_invprojmat = jnp.einsum(
                     'anij,jk->anik', new_invprojmat, scale_mat, precision='highest')
 
-            out_side = res * antialias_factor
-            crops = warp_ops.warp_images_with_pyramid(
-                images_lin,
+            warp_kwargs = dict(
                 intrinsic_matrix=jnp.tile(k_c, (num_aug, 1, 1)),
                 new_invprojmat=new_invprojmat.reshape(-1, 3, 3),
                 distortion_coeffs=jnp.tile(dist_c, (num_aug, 1)),
                 crop_scales=crop_scales.reshape(-1) * antialias_factor,
                 image_ids=jnp.tile(ids_c, (num_aug,)),
                 output_shape=(out_side, out_side))
+            if backend.startswith('tiled'):
+                crops = warp_pallas.warp_images_with_pyramid_tiled(
+                    None, pyramid_canvas=pyramid_canvas,
+                    interpret=backend == 'tiled-interpret',
+                    precision=(jax.lax.Precision.HIGHEST
+                               if cfg.warp_precision == 'highest'
+                               else jax.lax.Precision.DEFAULT),
+                    **warp_kwargs)
+            else:
+                crops = warp_ops.warp_images_with_pyramid(
+                    images_lin, **warp_kwargs)
             if antialias_factor > 1:
                 crops = warp_ops.avg_pool_nxn(crops, antialias_factor)
             # Per-aug gamma re-encode; cancels the earlier 2.2 decode

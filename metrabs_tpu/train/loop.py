@@ -51,7 +51,8 @@ def create_train_state(model, tx, rng, cfg: ModelConfig,
 
 def make_train_step(
         model, tx, joint_info3d: JointInfo, joint_info2d: JointInfo,
-        cfg: ModelConfig, tcfg: TrainConfig) -> Callable:
+        cfg: ModelConfig, tcfg: TrainConfig,
+        bn_inference: bool = False) -> Callable:
     """Builds the pure train step.
 
     batch3d: image [n,S,S,3], intrinsics [n,3,3], coords3d_true [n,J,3],
@@ -60,6 +61,12 @@ def make_train_step(
              joint_validity_mask [m,J2]
     The two streams are concatenated and run through the backbone+head
     together (`models/metrabs.py:156-212`).
+
+    With `bn_inference` the forward pass runs in inference mode — BatchNorm
+    consumes the frozen moving statistics (batch_stats never update) and
+    dropout/stochastic depth are off — while gradients still flow; this is
+    the SwitchToInferenceMode phase of the published training recipe
+    (`metrabs_tf/main.py:131-134`).
     """
     index_groups = losses_mod.get_2d_joint_index_groups(joint_info3d, joint_info2d)
 
@@ -78,10 +85,16 @@ def make_train_step(
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
-            (features, head2d, head3d), mutated = model.apply(
-                variables, image_both, train=True,
-                method=model.backbone_and_head,
-                mutable=['batch_stats'], rngs={'dropout': rng_dropout})
+            if bn_inference:
+                features, head2d, head3d = model.apply(
+                    variables, image_both, train=False,
+                    method=model.backbone_and_head)
+                mutated = {}
+            else:
+                (features, head2d, head3d), mutated = model.apply(
+                    variables, image_both, train=True,
+                    method=model.backbone_and_head,
+                    mutable=['batch_stats'], rngs={'dropout': rng_dropout})
 
             # Random 2D/3D mixing factor during training
             # (`models/metrabs.py:165-167`).

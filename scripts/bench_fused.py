@@ -1,0 +1,93 @@
+"""Fused detect_poses_batched benchmark (the PARITY.md e2e configuration).
+
+YOLOv4-416 + crop model on 8x1080p device-resident frames, 2 TTA,
+plausibility+NMS — ONE jit program. Round-1 recorded 542 ms/batch (14.8
+fps) on this config with the XLA gather warp; this script tracks the
+effect of the Pallas tiled warp and subsequent pipeline work.
+
+  python scripts/bench_fused.py [--backbone efficientnetv2-s] [--frames 8]
+      [--num-aug 2] [--warp-backend auto|gather] [--warp-precision highest]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--backbone', default='efficientnetv2-s')
+    parser.add_argument('--frames', type=int, default=8)
+    parser.add_argument('--num-aug', type=int, default=2)
+    parser.add_argument('--res', type=int, default=256)
+    parser.add_argument('--max-detections', type=int, default=16)
+    parser.add_argument('--warp-backend', default='auto')
+    parser.add_argument('--warp-precision', default='highest')
+    parser.add_argument('--iters', type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.detect.yolov4 import YOLOv4, PersonDetector
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+
+    print(jax.devices())
+    rng = np.random.default_rng(0)
+    H, W = 1080, 1920
+    images = jnp.asarray(rng.integers(
+        0, 255, size=(args.frames, H, W, 3), dtype=np.uint8))
+
+    cfg = ModelConfig(proc_side=args.res, depth=8, n_joints=17,
+                      dtype='bfloat16', backbone=args.backbone,
+                      warp_backend=args.warp_backend,
+                      warp_precision=args.warp_precision)
+    model = Metrabs(cfg=cfg, backbone=build_backbone(args.backbone))
+    params = jax.jit(model.init)(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros((1, args.res, args.res, 3), jnp.bfloat16), jnp.eye(3)[None])
+
+    def crop_fn(c, k, v):
+        return model.apply(params, c, k, train=False, sample_valid=v)
+
+    det_model = YOLOv4(num_classes=80, dtype=jnp.float32)
+    det_vars = jax.jit(lambda: det_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 416, 416, 3), jnp.float32),
+        train=False))()
+    detector = PersonDetector(det_model, det_vars, input_size=416)
+
+    est = PoseEstimator(crop_fn, H36M_17, cfg, detector=detector)
+
+    def run():
+        return est.detect_poses_batched(
+            images, num_aug=args.num_aug,
+            max_detections=args.max_detections)['poses3d']
+
+    t0 = time.time()
+    jax.block_until_ready(run())
+    print(f'compile+first run: {time.time() - t0:.1f} s')
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = run()
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    print(f'fused detect_poses_batched ({args.frames}x1080p, '
+          f'{args.backbone}@{args.res}, {args.num_aug} TTA, '
+          f'warp={args.warp_backend}/{args.warp_precision}): '
+          f'{t * 1000:.1f} ms/batch = {args.frames / t:.2f} frames/s')
+
+
+if __name__ == '__main__':
+    main()

@@ -95,3 +95,47 @@ def test_batch_stats_updated_in_train_mode():
     old = jax.tree_util.tree_leaves(variables['batch_stats'])
     new = jax.tree_util.tree_leaves(mutated['batch_stats'])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+class TestTrainTestStrideSwitch:
+    """stride_train != stride_test (the fleras TrainTestSwitchLayer recipe,
+    `resnet.py:31-32`, `docs/TRAINING.md:17-23`): one parameter tree serves
+    the strided training plan and the dilated test plan."""
+
+    def test_resnet_stride_switch_shapes_and_params(self, rng):
+        from metrabs_tpu.models.backbones.builder import build_backbone
+        bb = build_backbone('resnet18', stride_test=16, dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x, train=True)
+        out_train, _ = bb.apply(variables, x, train=True,
+                                mutable=['batch_stats'])
+        out_test = bb.apply(variables, x, train=False)
+        assert out_train.shape[1:3] == (2, 2)    # stride 32
+        assert out_test.shape[1:3] == (4, 4)     # stride 16
+        assert np.all(np.isfinite(np.asarray(out_test)))
+        # Param tree must be identical regardless of the init-time plan.
+        variables_t = bb.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables_t)
+
+    def test_effnetv2_stride_switch_shapes_and_params(self, rng):
+        from metrabs_tpu.models.backbones.builder import build_backbone
+        bb = build_backbone('efficientnetv2-s', stride_test=16,
+                            dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x, train=True)
+        out_train, _ = bb.apply(variables, x, train=True,
+                                mutable=['batch_stats'],
+                                rngs={'dropout': jax.random.PRNGKey(1)})
+        out_test = bb.apply(variables, x, train=False)
+        assert out_train.shape[1:3] == (2, 2)    # stride 32
+        assert out_test.shape[1:3] == (4, 4)     # stride 16
+        assert np.all(np.isfinite(np.asarray(out_test)))
+        variables_t = bb.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables_t)
+
+    def test_stride_test_rejected_for_mobilenet(self):
+        from metrabs_tpu.models.backbones.builder import build_backbone
+        with pytest.raises(ValueError):
+            build_backbone('mobilenetv3-small', stride_test=16)

@@ -156,3 +156,34 @@ def test_tta_five_aug_schedule():
     # (the center aug is unflipped, `multiperson_model.py:164`)
     np.testing.assert_array_equal(
         params.should_flip, [False, True, False, True, False])
+
+
+def test_tiled_warp_backend_matches_gather(estimator, test_data):
+    """The Pallas tiled-warp pipeline (interpret mode on CPU) must reproduce
+    the gather-backend pipeline end to end."""
+    images, boxes, box_valid = test_data
+    cfg_tiled = ModelConfig(
+        proc_side=64, stride_train=32, stride_test=32, depth=4, n_joints=17,
+        dtype='float32', warp_backend='tiled-interpret')
+    model = Metrabs(cfg=cfg_tiled,
+                    backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.eye(3)[jnp.newaxis])
+
+    def crop_model_fn(crops, intrinsics, sample_valid):
+        return model.apply(params, crops, intrinsics, train=False,
+                           sample_valid=sample_valid)
+
+    est_tiled = PoseEstimator(crop_model_fn, H36M_17, cfg_tiled)
+    out_t = est_tiled.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=2, average_aug=True)
+    out_g = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=2, average_aug=True)
+    valid = np.asarray(out_g['valid'])
+    p_t = np.asarray(out_t['poses3d'])[valid]
+    p_g = np.asarray(out_g['poses3d'])[valid]
+    np.testing.assert_allclose(p_t, p_g, atol=0.5)  # mm-scale agreement
+    p2_t = np.asarray(out_t['poses2d'])[valid]
+    p2_g = np.asarray(out_g['poses2d'])[valid]
+    np.testing.assert_allclose(p2_t, p2_g, atol=0.05)

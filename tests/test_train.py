@@ -138,3 +138,38 @@ def test_ema_update():
     np.testing.assert_allclose(out['w'], 0.1 * np.ones(3), atol=1e-6)
     out_off = optim.ema_update(e, p, 1.0)
     np.testing.assert_allclose(out_off['w'], np.ones(3))
+
+
+def test_finetune_in_inference_mode_freezes_batch_stats():
+    """The bn_inference step (SwitchToInferenceMode recipe,
+    `metrabs_tf/main.py:131-134`): batch_stats stay frozen, params update."""
+    rng = np.random.default_rng(5)
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(
+        width=16, dtype=jnp.float32, use_bn=True))
+    tx = optim.build_optimizer(TCFG)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    assert jax.tree_util.tree_leaves(state.batch_stats), 'fixture needs BN'
+    b3, b2 = make_batches(rng)
+
+    step_train = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, TCFG)
+    step_inf = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, TCFG,
+                                        bn_inference=True)
+
+    # Normal step: batch_stats move.
+    s1, _ = jax.jit(step_train)(state, b3, b2, jax.random.PRNGKey(1))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.batch_stats, s1.batch_stats)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # Inference-mode step: batch_stats identical, params still update.
+    s2, losses = jax.jit(step_inf)(s1, b3, b2, jax.random.PRNGKey(2))
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        s1.batch_stats, s2.batch_stats)
+    assert all(jax.tree_util.tree_leaves(same))
+    p_moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(p_moved)) > 0
+    assert np.isfinite(float(losses['loss']))
