@@ -4,7 +4,14 @@ The north-star metric (BASELINE.json): single-chip throughput of the
 EfficientNetV2-L 384px crop model (the metrabs_eff2l_y4 configuration's
 compute core — backbone + heads + soft-argmax + absolute reconstruction).
 Prints exactly one JSON line. The reference publishes no throughput numbers
-(its FPS columns are empty, BASELINE.md), so vs_baseline is reported as 1.0.
+(its FPS columns are empty, BASELINE.md), so vs_baseline compares against
+this repo's own round-1 recording (BENCH_r01: 1040.05 crops/s).
+
+The JSON line also carries the fused system number — detect_poses_batched
+(8x1080p frames, YOLOv4-416 + EffNetV2-S@256, 2 TTA, ONE jit program) in
+frames/s with its round-1 comparison (PARITY round 1: 14.8 fps) — so driver
+records track the pipeline, not just the backbone. Set BENCH_SKIP_FUSED=1
+to skip it.
 
 Env overrides: BENCH_BACKBONE (default efficientnetv2-l), BENCH_RES (384),
 BENCH_BATCH (32), BENCH_ITERS (20).
@@ -14,6 +21,54 @@ import json
 import os
 import sys
 import time
+
+ROUND1_CROPS_PER_SEC = 1040.05   # BENCH_r01.json
+ROUND1_FUSED_FPS = 14.8          # PARITY.md round-1 fused recording
+
+
+def bench_fused_pipeline():
+    """Fused detect_poses_batched fps (the scripts/bench_fused.py config)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.detect.yolov4 import YOLOv4, PersonDetector
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+
+    rng = np.random.default_rng(0)
+    frames = 8
+    images = jnp.asarray(rng.integers(
+        0, 255, size=(frames, 1080, 1920, 3), dtype=np.uint8))
+    cfg = ModelConfig(proc_side=256, depth=8, n_joints=17, dtype='bfloat16',
+                      backbone='efficientnetv2-s')
+    model = Metrabs(cfg=cfg, backbone=build_backbone('efficientnetv2-s'))
+    params = jax.jit(model.init)(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros((1, 256, 256, 3), jnp.bfloat16), jnp.eye(3)[None])
+    det_model = YOLOv4(num_classes=80, dtype=jnp.float32)
+    det_vars = jax.jit(lambda: det_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 416, 416, 3), jnp.float32),
+        train=False))()
+    est = PoseEstimator(
+        lambda c, k, v: model.apply(params, c, k, train=False, sample_valid=v),
+        H36M_17, cfg, detector=PersonDetector(det_model, det_vars))
+
+    def run():
+        return est.detect_poses_batched(
+            images, num_aug=2, max_detections=16)['poses3d']
+
+    jax.block_until_ready(run())
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        out = run()
+        __import__('numpy').asarray(out)
+        times.append(time.perf_counter() - t0)
+    return frames / min(times)
 
 
 def main():
@@ -82,12 +137,24 @@ def main():
     t_1 = min(timed(run_1) for _ in range(3))
     t_n = min(timed(run_n) for _ in range(3))
     crops_per_sec = batch * (iters - 1) / max(t_n - t_1, 1e-9)
-    print(json.dumps({
+
+    fused_fps = None
+    if not os.environ.get('BENCH_SKIP_FUSED'):
+        try:
+            fused_fps = bench_fused_pipeline()
+        except Exception as e:  # keep the headline metric robust
+            print(f'fused bench failed: {e!r}', file=sys.stderr)
+
+    record = {
         'metric': f'crops/sec/chip ({backbone_name} {res}px bf16 crop-model forward)',
         'value': round(crops_per_sec, 2),
         'unit': 'crops/s',
-        'vs_baseline': 1.0,
-    }))
+        'vs_baseline': round(crops_per_sec / ROUND1_CROPS_PER_SEC, 4),
+    }
+    if fused_fps is not None:
+        record['fused_detect_fps'] = round(fused_fps, 2)
+        record['fused_detect_vs_r01'] = round(fused_fps / ROUND1_FUSED_FPS, 4)
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':
