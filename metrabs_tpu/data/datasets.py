@@ -131,3 +131,173 @@ def load_npz_examples(path: str, image_root: str = '') -> List[Example3D]:
             image_path=os.path.join(image_root, str(data['image_path'][i])),
             camera=cam, bbox=bbox, world_coords=world))
     return examples
+
+
+def load_h36m_cameras(path: str):
+    """Human3.6M camera parameters from the widely-shared JSON layout
+    ({"intrinsics": {cam_id: {"calibration_matrix", "distortion"}},
+      "extrinsics": {subject: {cam_id: {"R", "t"}}}}; t in mm).
+
+    The reference derives the same parameters from `metadata.xml` via
+    posepile (`predict_h36m.py:103-105`); the JSON is a one-time export of
+    that data and avoids guessing the xml's undocumented packing.
+    """
+    import json
+    with open(path) as f:
+        raw = json.load(f)
+    cameras = {}
+    for subject, cams in raw['extrinsics'].items():
+        for cam_id, ext in cams.items():
+            intr = raw['intrinsics'][cam_id]
+            R = np.asarray(ext['R'], np.float32)
+            t = np.asarray(ext['t'], np.float32).reshape(3)
+            extrinsic = np.eye(4, dtype=np.float32)
+            extrinsic[:3, :3] = R
+            extrinsic[:3, 3] = t
+            cameras[(subject, cam_id)] = Camera(
+                extrinsic_matrix=extrinsic,
+                intrinsic_matrix=np.asarray(
+                    intr['calibration_matrix'], np.float32),
+                distortion_coeffs=np.asarray(
+                    intr.get('distortion', []), np.float32),
+                world_up=(0, 0, 1))
+    return cameras
+
+
+H36M_CAMERA_IDS = ('54138969', '55011271', '58860488', '60457274')
+# H36M 32-joint raw annotation -> the 17 evaluation joints, in the order the
+# reference uses (`predict_h36m.py:112`).
+H36M_RELEVANT_JOINTS = (1, 2, 3, 6, 7, 8, 12, 13, 14, 15, 17, 18, 19, 25,
+                        26, 27, 0)
+
+
+def load_h36m_examples(
+        root: str, cameras_json: str, subjects: Sequence[int] = (9, 11),
+        frame_step: int = 64, n_joints: int = 17) -> List[Example3D]:
+    """Human3.6M per-sequence protocol (`predict_h36m.py:102-125`): world
+    coords from the `D3_Positions/*.cdf` annotations (read with the
+    first-party CDF parser), every `frame_step`-th frame, the published
+    `BBoxes/*.npy` person boxes, all 4 cameras.
+
+    Directory layout: `<root>/S{i}/MyPoseFeatures/D3_Positions/{act}.cdf`,
+    `<root>/S{i}/BBoxes/{act}.{cam}.npy`,
+    `<root>/S{i}/Images/{act}.{cam}/frame_{k:06d}.jpg`.
+    """
+    from metrabs_tpu.utils import cdf as cdf_mod
+    assert n_joints == 17, 'only the 17-joint protocol subset is built in'
+    cameras = load_h36m_cameras(cameras_json)
+    examples = []
+    for i_subject in subjects:
+        coord_dir = os.path.join(
+            root, f'S{i_subject}', 'MyPoseFeatures', 'D3_Positions')
+        for coord_path in sorted(glob.glob(os.path.join(coord_dir, '*.cdf'))):
+            activity = os.path.splitext(os.path.basename(coord_path))[0]
+            raw = cdf_mod.load_cdf(coord_path)['Pose'][0].astype(np.float32)
+            n_total = raw.shape[0]
+            world_all = raw.reshape(n_total, -1, 3)[
+                ::frame_step, H36M_RELEVANT_JOINTS]
+            for i_cam, cam_id in enumerate(H36M_CAMERA_IDS):
+                cam = cameras[(f'S{i_subject}', cam_id)]
+                bbox_path = os.path.join(
+                    root, f'S{i_subject}', 'BBoxes',
+                    f'{activity}.{cam_id}.npy')
+                bboxes = np.load(bbox_path)[::frame_step]
+                img_dir = os.path.join(
+                    root, f'S{i_subject}', 'Images', f'{activity}.{cam_id}')
+                for i_out, i_frame in enumerate(
+                        range(0, n_total, frame_step)):
+                    examples.append(Example3D(
+                        image_path=os.path.join(
+                            img_dir, f'frame_{i_frame:06d}.jpg'),
+                        camera=cam,
+                        bbox=np.asarray(bboxes[i_out], np.float32),
+                        world_coords=world_all[i_out]))
+    return examples
+
+
+def load_3doh_examples(root: str) -> List[Example3D]:
+    """3DOH50K test set (`predict_tdoh.py:42-56`): `testset/annots.json`
+    with per-image `intri` (3x3), `extri`, `bbox` ((x1,y1),(x2,y2)) and
+    `lsp_joints_3d` (14, meters, world)."""
+    import json
+    with open(os.path.join(root, 'testset', 'annots.json')) as f:
+        annotations = json.load(f)
+    examples = []
+    for image_id, anno in annotations.items():
+        K = np.asarray(anno['intri'], np.float32)
+        extrinsic = np.eye(4, dtype=np.float32)
+        if 'extri' in anno:
+            extrinsic = np.asarray(anno['extri'], np.float32)
+            if extrinsic.shape == (3, 4):
+                extrinsic = np.concatenate(
+                    [extrinsic, [[0, 0, 0, 1]]], axis=0).astype(np.float32)
+        (x1, y1), (x2, y2) = anno['bbox']
+        bbox = np.array([x1, y1, x2 - x1, y2 - y1], np.float32)
+        joints_key = next(
+            (k for k in ('lsp_joints_3d', 'joints_3d', 'smpl_joints_3d')
+             if k in anno), None)
+        world = (np.asarray(anno[joints_key], np.float32) * 1000.0
+                 if joints_key else
+                 np.full((14, 3), np.nan, np.float32))
+        cam = Camera(extrinsic_matrix=extrinsic, intrinsic_matrix=K)
+        examples.append(Example3D(
+            image_path=os.path.join(root, 'testset', 'images',
+                                    f'{image_id}.jpg'),
+            camera=cam, bbox=bbox, world_coords=world))
+    return examples
+
+
+def load_aspset_examples(
+        root: str, split: str = 'test',
+        frame_step: int = 1) -> List[Example3D]:
+    """ASPset-510 (`predict_aspset.py:44-60`): per-sequence box CSVs, camera
+    JSONs and .mkv videos; ground-truth 3D (when present, train/val splits)
+    comes from posekit .c3d files, which the evaluation loads separately —
+    the examples here carry boxes and cameras for prediction.
+
+    Frames are decoded on demand (the loader reads `image` when set; for
+    videos we pre-extract frames into arrays lazily via cv2).
+    """
+    import csv
+    import json
+    split_rows = []
+    with open(os.path.join(root, 'splits.csv')) as f:
+        for row in csv.reader(f):
+            if row and row[-1].strip() == split:
+                split_rows.append([c.strip() for c in row[:-1]])
+
+    examples = []
+    for subj_id, vid_id, view in split_rows:
+        box_path = os.path.join(
+            root, split, 'boxes', subj_id, f'{subj_id}-{vid_id}-{view}.csv')
+        cam_path = os.path.join(
+            root, split, 'cameras', subj_id, f'{subj_id}-{view}.json')
+        video_path = os.path.join(
+            root, split, 'videos', subj_id, f'{subj_id}-{vid_id}-{view}.mkv')
+        if not (os.path.exists(box_path) and os.path.exists(cam_path)):
+            continue
+        with open(cam_path) as f:
+            cam_data = json.load(f)
+        K = np.asarray(cam_data['intrinsic_matrix'], np.float32)[:3, :3]
+        extrinsic = np.asarray(
+            cam_data.get('extrinsic_matrix', np.eye(4)), np.float32)
+        if extrinsic.shape == (3, 4):
+            extrinsic = np.concatenate(
+                [extrinsic, [[0, 0, 0, 1]]], 0).astype(np.float32)
+        cam = Camera(extrinsic_matrix=extrinsic, intrinsic_matrix=K,
+                     world_up=(0, -1, 0))
+        boxes = []
+        with open(box_path) as f:
+            for row in csv.reader(f):
+                try:
+                    boxes.append([float(x) for x in row[:4]])
+                except ValueError:
+                    continue  # header
+        for i_frame in range(0, len(boxes), frame_step):
+            x1, y1, x2, y2 = boxes[i_frame]
+            examples.append(Example3D(
+                image_path=f'{video_path}#frame={i_frame}',
+                camera=cam,
+                bbox=np.array([x1, y1, x2 - x1, y2 - y1], np.float32),
+                world_coords=np.full((17, 3), np.nan, np.float32)))
+    return examples

@@ -10,8 +10,21 @@ import numpy as np
 
 
 def imread(path: str) -> np.ndarray:
-    """RGB uint8 image load."""
-    im = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    """RGB uint8 image load. `video.ext#frame=N` reads frame N of a video
+    (the ASPset adapter's convention for .mkv sources)."""
+    path = str(path)
+    if '#frame=' in path:
+        video_path, frame_spec = path.split('#frame=')
+        cap = cv2.VideoCapture(video_path)
+        try:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(frame_spec))
+            ok, im = cap.read()
+        finally:
+            cap.release()
+        if not ok or im is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+    im = cv2.imread(path, cv2.IMREAD_COLOR)
     if im is None:
         raise FileNotFoundError(path)
     return cv2.cvtColor(im, cv2.COLOR_BGR2RGB)

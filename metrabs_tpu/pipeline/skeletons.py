@@ -76,11 +76,62 @@ LSP_14 = make_joint_info(
      ('rwri', 'relb'), ('relb', 'rsho'), ('lsho', 'lelb'), ('lelb', 'lwri'),
      ('rsho', 'neck'), ('neck', 'lsho'), ('neck', 'htop'), ('rhip', 'lhip')])
 
+KINECTV2_25 = make_joint_info(
+    # Kinect v2 SDK JointType order (SpineBase..ThumbRight).
+    ['pelv', 'spin', 'neck', 'head', 'lsho', 'lelb', 'lwri', 'lhan', 'rsho',
+     'relb', 'rwri', 'rhan', 'lhip', 'lkne', 'lank', 'lfoo', 'rhip', 'rkne',
+     'rank', 'rfoo', 'spi2', 'lhti', 'lthu', 'rhti', 'rthu'],
+    [('pelv', 'spin'), ('spin', 'spi2'), ('spi2', 'neck'), ('neck', 'head'),
+     ('spi2', 'lsho'), ('lsho', 'lelb'), ('lelb', 'lwri'), ('lwri', 'lhan'),
+     ('lhan', 'lhti'), ('lwri', 'lthu'), ('spi2', 'rsho'), ('rsho', 'relb'),
+     ('relb', 'rwri'), ('rwri', 'rhan'), ('rhan', 'rhti'), ('rwri', 'rthu'),
+     ('pelv', 'lhip'), ('lhip', 'lkne'), ('lkne', 'lank'), ('lank', 'lfoo'),
+     ('pelv', 'rhip'), ('rhip', 'rkne'), ('rkne', 'rank'), ('rank', 'rfoo')])
+
+MPI_INF_3DHP_28 = make_joint_info(
+    # The full 3DHP 28-joint set ('all' annotation order).
+    ['spi3', 'spi4', 'spi2', 'spin', 'pelv', 'neck', 'head', 'htop', 'lcla',
+     'lsho', 'lelb', 'lwri', 'lhan', 'rcla', 'rsho', 'relb', 'rwri', 'rhan',
+     'lhip', 'lkne', 'lank', 'lfoo', 'ltoe', 'rhip', 'rkne', 'rank', 'rfoo',
+     'rtoe'],
+    [('spi3', 'spi4'), ('spi2', 'spi3'), ('spin', 'spi2'), ('pelv', 'spin'),
+     ('spi4', 'neck'), ('neck', 'head'), ('head', 'htop'), ('neck', 'lcla'),
+     ('lcla', 'lsho'), ('lsho', 'lelb'), ('lelb', 'lwri'), ('lwri', 'lhan'),
+     ('neck', 'rcla'), ('rcla', 'rsho'), ('rsho', 'relb'), ('relb', 'rwri'),
+     ('rwri', 'rhan'), ('pelv', 'lhip'), ('lhip', 'lkne'), ('lkne', 'lank'),
+     ('lank', 'lfoo'), ('lfoo', 'ltoe'), ('pelv', 'rhip'), ('rhip', 'rkne'),
+     ('rkne', 'rank'), ('rank', 'rfoo'), ('rfoo', 'rtoe')])
+
+H36M_25 = make_joint_info(
+    # The 25 distinct named H36M joints (32 raw minus duplicates/zeros).
+    ['pelv', 'rhip', 'rkne', 'rank', 'rfoo', 'rtoe', 'lhip', 'lkne', 'lank',
+     'lfoo', 'ltoe', 'spin', 'neck', 'head', 'htop', 'lsho', 'lelb', 'lwri',
+     'lthu', 'lfin', 'rsho', 'relb', 'rwri', 'rthu', 'rfin'],
+    [('pelv', 'rhip'), ('rhip', 'rkne'), ('rkne', 'rank'), ('rank', 'rfoo'),
+     ('rfoo', 'rtoe'), ('pelv', 'lhip'), ('lhip', 'lkne'), ('lkne', 'lank'),
+     ('lank', 'lfoo'), ('lfoo', 'ltoe'), ('pelv', 'spin'), ('spin', 'neck'),
+     ('neck', 'head'), ('head', 'htop'), ('neck', 'lsho'), ('lsho', 'lelb'),
+     ('lelb', 'lwri'), ('lwri', 'lthu'), ('lwri', 'lfin'), ('neck', 'rsho'),
+     ('rsho', 'relb'), ('relb', 'rwri'), ('rwri', 'rthu'), ('rwri', 'rfin')])
+
+ASPSET_17 = make_joint_info(
+    # ASPset-510 'aspset_17j' convention.
+    ['rank', 'rkne', 'rhip', 'rwri', 'relb', 'rsho', 'lank', 'lkne', 'lhip',
+     'lwri', 'lelb', 'lsho', 'htop', 'head', 'neck', 'spin', 'pelv'],
+    [('rank', 'rkne'), ('rkne', 'rhip'), ('rhip', 'pelv'), ('rwri', 'relb'),
+     ('relb', 'rsho'), ('rsho', 'neck'), ('lank', 'lkne'), ('lkne', 'lhip'),
+     ('lhip', 'pelv'), ('lwri', 'lelb'), ('lelb', 'lsho'), ('lsho', 'neck'),
+     ('htop', 'head'), ('head', 'neck'), ('neck', 'spin'), ('spin', 'pelv')])
+
 BUILTIN_SKELETONS: Dict[str, JointInfo] = {
     'h36m_17': H36M_17,
+    'h36m_25': H36M_25,
     'coco_19': COCO_19,
     'smpl_24': SMPL_24,
     'mpi_inf_3dhp_17': MPI_INF_3DHP_17,
+    'mpi_inf_3dhp_28': MPI_INF_3DHP_28,
+    'kinectv2_25': KINECTV2_25,
+    'aspset_17': ASPSET_17,
     'lsp_14': LSP_14,
 }
 

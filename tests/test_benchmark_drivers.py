@@ -1,0 +1,164 @@
+"""Per-benchmark dataset adapters, CDF reader, and skeleton conventions."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from metrabs_tpu.utils import cdf as cdf_mod
+
+
+class TestCdf:
+
+    def test_roundtrip_uncompressed(self, rng, tmp_path):
+        pose = rng.normal(size=(1, 40, 96)).astype(np.float64)
+        path = str(tmp_path / 'a.cdf')
+        cdf_mod.write_cdf(path, {'Pose': pose})
+        np.testing.assert_array_equal(cdf_mod.load_cdf(path)['Pose'], pose)
+
+    def test_roundtrip_compressed_vvr(self, rng, tmp_path):
+        pose = rng.normal(size=(3, 8, 6)).astype(np.float32)
+        path = str(tmp_path / 'b.cdf')
+        cdf_mod.write_cdf(path, {'Pose': pose}, compress_vvr=True)
+        np.testing.assert_array_equal(cdf_mod.load_cdf(path)['Pose'], pose)
+
+    def test_roundtrip_column_major(self, rng, tmp_path):
+        pose = rng.normal(size=(2, 5, 3)).astype(np.float64)
+        path = str(tmp_path / 'c.cdf')
+        cdf_mod.write_cdf(path, {'Pose': pose}, column_major=True)
+        np.testing.assert_array_equal(cdf_mod.load_cdf(path)['Pose'], pose)
+
+    def test_rejects_garbage(self, tmp_path):
+        path = tmp_path / 'junk.cdf'
+        path.write_bytes(b'\x01' * 64)
+        with pytest.raises(ValueError):
+            cdf_mod.CdfFile(path.read_bytes())
+
+
+def _write_h36m_fixture(root, rng, n_frames=130, frame_step=64):
+    from metrabs_tpu.data.datasets import H36M_CAMERA_IDS
+    cameras = dict(intrinsics={}, extrinsics={'S9': {}})
+    for cam_id in H36M_CAMERA_IDS:
+        cameras['intrinsics'][cam_id] = dict(
+            calibration_matrix=[[1145.0, 0, 512.0], [0, 1143.0, 515.0],
+                                [0, 0, 1]],
+            distortion=[-0.2, 0.24, -0.002, -0.0009, 0.0])
+        cameras['extrinsics']['S9'][cam_id] = dict(
+            R=np.eye(3).tolist(), t=[0.0, 0.0, 5000.0])
+    cam_json = os.path.join(root, 'cameras.json')
+    with open(cam_json, 'w') as f:
+        json.dump(cameras, f)
+
+    subj = os.path.join(root, 'S9')
+    coords = rng.normal(size=(1, n_frames, 96)).astype(np.float64) * 100
+    os.makedirs(os.path.join(subj, 'MyPoseFeatures', 'D3_Positions'))
+    cdf_mod.write_cdf(
+        os.path.join(subj, 'MyPoseFeatures', 'D3_Positions', 'Walking.cdf'),
+        {'Pose': coords})
+    os.makedirs(os.path.join(subj, 'BBoxes'))
+    n_out = len(range(0, n_frames, frame_step))
+    for cam_id in H36M_CAMERA_IDS:
+        np.save(os.path.join(subj, 'BBoxes', f'Walking.{cam_id}.npy'),
+                rng.uniform(0, 200, size=(n_frames // 1, 4))
+                .astype(np.float32))
+    return cam_json, coords, n_out
+
+
+class TestH36MAdapter:
+
+    def test_per_sequence_protocol(self, rng, tmp_path):
+        from metrabs_tpu.data.datasets import (
+            H36M_RELEVANT_JOINTS, load_h36m_examples)
+        root = str(tmp_path)
+        cam_json, coords, n_out = _write_h36m_fixture(root, rng)
+        examples = load_h36m_examples(root, cam_json, subjects=(9,),
+                                      frame_step=64)
+        # 4 cameras x every-64th of 130 frames (0, 64, 128).
+        assert len(examples) == 4 * 3
+        ex = examples[0]
+        assert 'S9/Images/Walking.54138969/frame_000000.jpg' in \
+            ex.image_path.replace(os.sep, '/')
+        expected = coords[0, 0].reshape(-1, 3)[list(H36M_RELEVANT_JOINTS)]
+        np.testing.assert_allclose(ex.world_coords, expected, rtol=1e-6)
+        # Second frame of the same camera is frame 64.
+        assert 'frame_000064' in examples[1].image_path
+        assert ex.camera.intrinsic_matrix[0, 0] == pytest.approx(1145.0)
+
+
+class Test3DOHAdapter:
+
+    def test_annots_json(self, rng, tmp_path):
+        from metrabs_tpu.data.datasets import load_3doh_examples
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, 'testset', 'images'))
+        annots = {
+            '00001': dict(
+                intri=[[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]],
+                bbox=[[10, 20], [110, 220]],
+                lsp_joints_3d=rng.normal(size=(14, 3)).tolist()),
+            '00002': dict(
+                intri=[[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]],
+                bbox=[[0, 0], [50, 60]]),
+        }
+        with open(os.path.join(root, 'testset', 'annots.json'), 'w') as f:
+            json.dump(annots, f)
+        examples = load_3doh_examples(root)
+        assert len(examples) == 2
+        np.testing.assert_allclose(examples[0].bbox, [10, 20, 100, 200])
+        assert examples[0].world_coords.shape == (14, 3)
+        assert np.all(np.isnan(examples[1].world_coords))
+
+
+class TestAspsetAdapter:
+
+    def test_split_and_boxes(self, tmp_path):
+        from metrabs_tpu.data.datasets import load_aspset_examples
+        root = str(tmp_path)
+        with open(os.path.join(root, 'splits.csv'), 'w') as f:
+            f.write('1e2f, 0f5a, right, test\n1e2f, 0f5a, left, train\n')
+        os.makedirs(os.path.join(root, 'test', 'boxes', '1e2f'))
+        os.makedirs(os.path.join(root, 'test', 'cameras', '1e2f'))
+        with open(os.path.join(root, 'test', 'boxes', '1e2f',
+                               '1e2f-0f5a-right.csv'), 'w') as f:
+            f.write('x1,y1,x2,y2\n100,50,300,400\n110,55,310,410\n')
+        with open(os.path.join(root, 'test', 'cameras', '1e2f',
+                               '1e2f-right.json'), 'w') as f:
+            json.dump(dict(
+                intrinsic_matrix=[[2000.0, 0, 1920, 0], [0, 2000.0, 1080, 0],
+                                  [0, 0, 1, 0]],
+                extrinsic_matrix=np.eye(4).tolist()), f)
+        examples = load_aspset_examples(root, split='test')
+        assert len(examples) == 2
+        np.testing.assert_allclose(examples[0].bbox, [100, 50, 200, 350])
+        assert '#frame=0' in examples[0].image_path
+        assert '#frame=1' in examples[1].image_path
+        assert examples[0].camera.intrinsic_matrix.shape == (3, 3)
+
+
+class TestNewSkeletons:
+
+    def test_conventions_registered_for_superset_model(self):
+        from metrabs_tpu.pipeline.skeletons import (
+            BUILTIN_SKELETONS, SkeletonRegistry)
+        from metrabs_tpu.utils.joint_info import make_joint_info
+        # A model joint set that covers every builtin convention.
+        all_names = []
+        for ji in BUILTIN_SKELETONS.values():
+            for n in ji.names:
+                if n not in all_names:
+                    all_names.append(n)
+        model_ji = make_joint_info(all_names, [])
+        reg = SkeletonRegistry(model_ji)
+        for name in ('h36m_17', 'h36m_25', 'kinectv2_25', 'mpi_inf_3dhp_28',
+                     'aspset_17', 'coco_19', 'smpl_24', 'lsp_14'):
+            assert name in reg.skeleton_names, name
+            idx = reg.indices(name)
+            assert len(idx) == len(reg.joint_names(name))
+            assert len(set(map(int, idx))) == len(idx)  # distinct joints
+
+    def test_unsupported_convention_skipped_not_crashing(self):
+        from metrabs_tpu.pipeline.skeletons import H36M_17, SkeletonRegistry
+        reg = SkeletonRegistry(H36M_17)
+        assert 'kinectv2_25' not in reg.skeleton_names  # needs hands/feet
+        assert 'h36m_17' in reg.skeleton_names
