@@ -14,7 +14,8 @@ records track the pipeline, not just the backbone. Set BENCH_SKIP_FUSED=1
 to skip it.
 
 Env overrides: BENCH_BACKBONE (default efficientnetv2-l), BENCH_RES (384),
-BENCH_BATCH (32), BENCH_ITERS (20).
+BENCH_BATCH (128; throughput saturates ~batch 128, +25% over 32 —
+scripts/profile_cropmodel.py), BENCH_ITERS (20).
 """
 
 import json
@@ -87,7 +88,7 @@ def main():
 
     backbone_name = os.environ.get('BENCH_BACKBONE', 'efficientnetv2-l')
     res = int(os.environ.get('BENCH_RES', '384'))
-    batch = int(os.environ.get('BENCH_BATCH', '32'))
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))
 
     cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',

@@ -433,3 +433,31 @@ def import_backbone_from_tf(
         return import_mobilenetv3_from_tf(
             tf_vars, flax_variables, backbone_scope)
     raise ValueError(f'No TF import mapping for backbone {backbone_name!r}')
+
+
+def load_affine_weights(source, flax_variables: Dict) -> Dict:
+    """Loads ACAE affine-combining autoencoder weights into the latent-mode
+    model constants (`metrabs_tf/models/metrabs.py:25-35`): an .npz path or
+    dict with w1 [n_joints, n_latents] (encoder) and w2 [n_latents,
+    n_joints] (decoder / recombination). Shapes are validated against the
+    model's n_latents/n_joints."""
+    import flax
+    ws = np.load(source) if isinstance(source, str) else source
+    w1 = np.asarray(ws['w1'], np.float32)
+    w2 = np.asarray(ws['w2'], np.float32)
+    if w1.shape != w2.shape[::-1]:
+        raise ValueError(f'w1 {w1.shape} and w2 {w2.shape} are not '
+                         'transpose-compatible')
+    flat = dict(flax.traverse_util.flatten_dict(flax_variables, sep='/'))
+    enc_key = next((k for k in flat if k.endswith('encoder_weights')), None)
+    rec_key = next(
+        (k for k in flat if k.endswith('recombination_weights')), None)
+    if enc_key is None or rec_key is None:
+        raise KeyError('Model has no latent-mode constants (latent_mode '
+                       'unset or n_latents=0)')
+    for key, val in ((enc_key, w1), (rec_key, w2)):
+        if tuple(np.asarray(flat[key]).shape) != val.shape:
+            raise ValueError(f'{key}: expected {np.asarray(flat[key]).shape},'
+                             f' got {val.shape}')
+        flat[key] = val
+    return flax.traverse_util.unflatten_dict(flat, sep='/')

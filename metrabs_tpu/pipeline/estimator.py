@@ -451,7 +451,15 @@ class PoseEstimator:
         """Detection + estimation. With `fused` (default) both run as ONE
         jit-compiled program — no host round-trip between the detector and
         the estimator (the reference's single-SavedModel-graph property,
-        `multiperson_model.py:60-73`)."""
+        `multiperson_model.py:60-73`).
+
+        Compilation is specialized per input resolution (orig_h, orig_w) and
+        per (max_detections, num_aug, ...) static config: fixed-camera
+        serving compiles once; feeds with VARYING frame sizes compile one
+        program per size and will thrash the in-process cache — resize or
+        letterbox to a canonical resolution upstream for such sources (the
+        persistent compilation cache makes recurring sizes cheap across
+        process restarts)."""
         if self.detector is None:
             raise ValueError('No detector attached to this estimator.')
         flip_vertical = (detector_flip_aug

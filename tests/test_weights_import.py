@@ -159,3 +159,39 @@ def test_metrabs_head_import(rng):
     np.testing.assert_allclose(
         np.transpose(sd['heatmap_heads.conv_final.weight'], (2, 3, 1, 0)),
         flat['params/heatmap_heads/conv_final/kernel'])
+
+
+def test_load_affine_weights(tmp_path, rng):
+    """ACAE latent weights land in the model constants and change decode."""
+    import jax
+    import jax.numpy as jnp
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.io.weights_import import load_affine_weights
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=16, dtype=jnp.float32),
+                    latent_mode='transform_coords', n_latents=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.eye(3)[None])
+    w1 = rng.normal(size=(17, 8)).astype(np.float32)
+    w2 = rng.normal(size=(8, 17)).astype(np.float32)
+    path = tmp_path / 'acae.npz'
+    np.savez(path, w1=w1, w2=w2)
+    loaded = load_affine_weights(str(path), variables)
+    np.testing.assert_array_equal(
+        np.asarray(loaded['constants']['encoder_weights']), w1)
+    np.testing.assert_array_equal(
+        np.asarray(loaded['constants']['recombination_weights']), w2)
+    # Decoded output differs from the zero-constant model and is finite.
+    img = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    K = jnp.tile(jnp.eye(3)[None], (2, 1, 1)).astype(jnp.float32) * 100
+    out0 = model.apply(variables, img, K, train=False)
+    out1 = model.apply(loaded, img, K, train=False)
+    assert np.all(np.isfinite(np.asarray(out1)))
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+    with pytest.raises(ValueError):
+        load_affine_weights({'w1': w1[:5], 'w2': w2}, variables)
