@@ -51,12 +51,21 @@ def parse_args(argv=None):
     p.add_argument('--finetune-in-inference-mode', type=int, default=0,
                    help='freeze BN to inference mode for the final N steps '
                         '(metrabs_tf/main.py:131-134)')
+    p.add_argument('--distributed', action='store_true',
+                   help='multi-host: jax.distributed.initialize() from the '
+                        'TPU pod environment; batch sizes are GLOBAL and '
+                        'each process loads its local shard')
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     import jax
+    if args.distributed:
+        # Multi-host data parallelism over DCN: the mesh below then spans
+        # all processes' devices; gradient psum rides ICI within a slice and
+        # DCN across (SURVEY.md §5 distributed-comms plan).
+        jax.distributed.initialize()
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
@@ -121,14 +130,22 @@ def main(argv=None):
         lists2d, sections(args.sections2d, len(lists2d), args.batch_size_2d),
         rng_np)
 
+    # Per-process (local) batch sizes; the sharded step sees global arrays.
+    n_proc = jax.process_count()
+    assert args.batch_size % n_proc == 0 and args.batch_size_2d % n_proc == 0, (
+        'global batch sizes must divide the process count')
+    local_bs = args.batch_size // n_proc
+    local_bs2 = args.batch_size_2d // n_proc
+
     lcfg = LoadConfig()
     loader3 = ParallelBatchLoader(
         lambda ex, r: load_and_transform3d(ex, joint_info3d, True, r, cfg, lcfg),
-        it3d, batch_size=args.batch_size, n_workers=args.workers, seed=args.seed)
+        it3d, batch_size=local_bs, n_workers=args.workers,
+        seed=args.seed + 101 * jax.process_index())
     loader2 = ParallelBatchLoader(
         lambda ex, r: load_and_transform2d(ex, joint_info2d, True, r, cfg, lcfg),
-        it2d, batch_size=args.batch_size_2d, n_workers=args.workers,
-        seed=args.seed + 1)
+        it2d, batch_size=local_bs2, n_workers=args.workers,
+        seed=args.seed + 1 + 101 * jax.process_index())
 
     # Model + optimizer + sharded step.
     model = Metrabs(cfg=cfg, backbone=build_backbone(
@@ -205,9 +222,10 @@ def main(argv=None):
                     t_last = time.time()
                     rec = dict(step=i + 1, loss=loss,
                                steps_per_sec=args.log_period / dt)
-                    print(json.dumps(rec), flush=True)
-                    with open(log_path, 'a') as f:
-                        f.write(json.dumps(rec) + '\n')
+                    if jax.process_index() == 0:
+                        print(json.dumps(rec), flush=True)
+                        with open(log_path, 'a') as f:
+                            f.write(json.dumps(rec) + '\n')
                 if manager.should_save(i + 1):
                     manager.save(i + 1, args=ocp.args.StandardSave(state))
     finally:
@@ -227,11 +245,14 @@ def main(argv=None):
                      if tcfg.ema_momentum < 1 else state.params}
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
-        save_pose_estimator_package(
-            args.export_dir, cfg=cfg, aug_cfg=AugConfig(),
-            crop_model_variables=variables, joint_info=joint_info3d,
-            skeleton_registry=SkeletonRegistry(joint_info3d))
-        print(f'exported package to {args.export_dir}')
+        # Parameters are replicated across the mesh, so process 0 holds a
+        # complete copy and exports alone.
+        if jax.process_index() == 0:
+            save_pose_estimator_package(
+                args.export_dir, cfg=cfg, aug_cfg=AugConfig(),
+                crop_model_variables=variables, joint_info=joint_info3d,
+                skeleton_registry=SkeletonRegistry(joint_info3d))
+            print(f'exported package to {args.export_dir}')
 
 
 if __name__ == '__main__':

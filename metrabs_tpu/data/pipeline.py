@@ -109,9 +109,23 @@ class ParallelBatchLoader:
 
 def device_prefetch(batch_iter: Iterable, sharding=None, depth: int = 2):
     """Keeps `depth` batches in flight on the device (double buffering) so
-    host loading overlaps with TPU compute."""
-    put = (lambda b: jax.device_put(b, sharding)) if sharding is not None \
-        else jax.device_put
+    host loading overlaps with TPU compute.
+
+    Multi-host (jax.distributed): each process feeds its LOCAL shard of the
+    global batch; arrays are assembled into globally-sharded jax.Arrays via
+    make_array_from_process_local_data (the DCN analogue of the reference's
+    dataset auto-sharding, `main.py:76-78`)."""
+    if sharding is not None and jax.process_count() > 1:
+        import numpy as _np
+
+        def put(b):
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, _np.asarray(x)), b)
+    elif sharding is not None:
+        put = lambda b: jax.device_put(b, sharding)
+    else:
+        put = jax.device_put
     buf: List = []
     it = iter(batch_iter)
     try:

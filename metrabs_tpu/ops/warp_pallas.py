@@ -52,24 +52,37 @@ N_PARAMS = 32            # padded per-crop f32 parameter vector
 
 
 def _warp_tile_kernel(meta_ref, params_ref, canvas_ref, out_ref, win, sem, *,
-                      n_bx: int, precision):
+                      n_bx: int, n_tiles: int, n_total: int, precision):
     n = pl.program_id(0)
     t = pl.program_id(1)
     # meta is [N, T*8] (flat last axis: SMEM pads the minor dim to 128, so a
     # [N, T, 8] layout would blow the 1 MB SMEM budget 16x).
-    img = meta_ref[n, t * 8 + 0]
-    oy_dma = meta_ref[n, t * 8 + 1]
     ox = meta_ref[n, t * 8 + 2]
     oy_local = meta_ref[n, t * 8 + 3]
     wp = meta_ref[n, t * 8 + 4]
     hp = meta_ref[n, t * 8 + 5]
 
-    dma = pltpu.make_async_copy(
-        canvas_ref.at[img, :,
-                      pl.ds(pl.multiple_of(oy_dma, 8), WIN_R),
-                      pl.ds(pl.multiple_of(ox, 128), WIN_C)],
-        win, sem)
-    dma.start()
+    # Double-buffered window fetch: step `lin` waits on slot lin%2 while the
+    # DMA for step lin+1 runs into the other slot.
+    def window_dma(lin, slot):
+        n2 = lin // n_tiles
+        t2 = lin % n_tiles
+        return pltpu.make_async_copy(
+            canvas_ref.at[
+                meta_ref[n2, t2 * 8 + 0], :,
+                pl.ds(pl.multiple_of(meta_ref[n2, t2 * 8 + 1], 8), WIN_R),
+                pl.ds(pl.multiple_of(meta_ref[n2, t2 * 8 + 2], 128), WIN_C)],
+            win.at[slot], sem.at[slot])
+
+    lin = n * n_tiles + t
+
+    @pl.when(lin == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(lin + 1 < n_total)
+    def _():
+        window_dma(lin + 1, (lin + 1) % 2).start()
 
     # Output-pixel coordinates in [1, P] layout (pixels on lanes).
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -112,8 +125,8 @@ def _warp_tile_kernel(meta_ref, params_ref, canvas_ref, out_ref, win, sem, *,
     vxt = jnp.maximum(0.0, 1.0 - jnp.abs(iota_c - xl))   # [WIN_C, P]
     vyt = jnp.maximum(0.0, 1.0 - jnp.abs(iota_r - yl))   # [WIN_R, P]
 
-    dma.wait()
-    win2 = win[:].reshape(3 * WIN_R, WIN_C)
+    window_dma(lin, lin % 2).wait()
+    win2 = win[lin % 2].reshape(3 * WIN_R, WIN_C)
     s = jnp.dot(win2, vxt, preferred_element_type=jnp.float32,
                 precision=precision)                    # [3*WIN_R, P]
     rows = [jnp.sum(s[ch * WIN_R:(ch + 1) * WIN_R] * vyt, axis=0,
@@ -263,12 +276,13 @@ def warp_images_with_pyramid_tiled(
         out_specs=pl.BlockSpec((1, 1, 3, P), lambda n, t, meta: (n, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, WIN_R, WIN_C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3, WIN_R, WIN_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ])
 
     out = pl.pallas_call(
-        functools.partial(_warp_tile_kernel, n_bx=n_bx, precision=precision),
+        functools.partial(_warp_tile_kernel, n_bx=n_bx, n_tiles=n_tiles,
+                          n_total=n_crops * n_tiles, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_crops, n_tiles, 3, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -148,7 +148,21 @@ def estimate_poses_batched_fn(
         image_ids = jnp.repeat(jnp.arange(n_images, dtype=jnp.int32), max_boxes)
         k_flat = jnp.repeat(intrinsic_matrix, max_boxes, axis=0)
         dist_flat = jnp.repeat(distortion_coeffs, max_boxes, axis=0)
+
+        # Compact valid boxes to the front (stable) so padding concentrates
+        # in trailing chunks, which predict_chunk skips at RUNTIME via
+        # lax.cond — sparse scenes don't pay warp+backbone for max_detections
+        # worth of padding (the reference's ragged flat_values equivalent,
+        # `multiperson_model.py:248-249`, under static shapes).
         up_flat = jnp.repeat(camspace_up, max_boxes, axis=0)
+        compaction_order = jnp.argsort(jnp.logical_not(valid_flat),
+                                       stable=True)
+        boxes_flat = boxes_flat[compaction_order]
+        valid_flat = valid_flat[compaction_order]
+        image_ids = image_ids[compaction_order]
+        k_flat = k_flat[compaction_order]
+        dist_flat = dist_flat[compaction_order]
+        up_flat = up_flat[compaction_order]
 
         # TTA schedules (static; numpy at trace time).
         tta = tta_mod.make_tta_params(num_aug, spec.aug_cfg)
@@ -182,7 +196,19 @@ def estimate_poses_batched_fn(
 
         def predict_chunk(chunk):
             """One internal batch: warp + crop-model forward for all augs of a
-            chunk of boxes (`multiperson_model.py:292-327`)."""
+            chunk of boxes (`multiperson_model.py:292-327`). Chunks with no
+            valid box skip compute entirely at runtime (lax.cond): after
+            the valid-first compaction, padding-only chunks cost nothing."""
+            valid_c = chunk[-1]
+            n_box = valid_c.shape[0]
+            return jax.lax.cond(
+                jnp.any(valid_c), _predict_chunk_compute,
+                lambda c: jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1000.0], jnp.float32),
+                    (n_box, num_aug, spec.n_joints_model, 3)),
+                chunk)
+
+        def _predict_chunk_compute(chunk):
             (k_c, dist_c, boxes_c, r_noaug_c, scales_c, ids_c, valid_c) = chunk
             n_box = boxes_c.shape[0]
 
@@ -267,6 +293,12 @@ def estimate_poses_batched_fn(
             poses3d_flat = jax.lax.map(predict_chunk, padded)
             poses3d_flat = poses3d_flat.reshape(
                 (n_chunks * boxes_per_chunk,) + poses3d_flat.shape[2:])[:n_total]
+
+        # Undo the valid-first compaction; every per-box array downstream
+        # (k_flat, dist_flat for projection) is used in ORIGINAL order.
+        poses3d_flat = poses3d_flat[jnp.argsort(compaction_order)]
+        k_flat = k_flat[jnp.argsort(compaction_order)]
+        dist_flat = dist_flat[jnp.argsort(compaction_order)]
 
         if joint_transform_matrix is not None:
             poses3d_flat = jnp.einsum(

@@ -69,16 +69,24 @@ def test_output_shapes_unaveraged(estimator, test_data):
 
 
 def test_chunking_equivalence(estimator, test_data):
-    """internal_batch_size must not change results
-    (`multiperson_model.py:241-290` chunking is purely a memory knob)."""
+    """internal_batch_size must not change results beyond float-level noise
+    (`multiperson_model.py:241-290` chunking is a memory knob). Exact
+    equality is not expected: the absolute-reconstruction RMS normalization
+    pools over the chunk batch — in the reference too (`tfu3d.py:180-183`,
+    pooled over the ragged internal batch) — so regrouping shifts results
+    at the ~1e-3 relative level."""
     images, boxes, box_valid = test_data
     out_big = estimator.estimate_poses_batched(
         images, boxes, box_valid, num_aug=2, internal_batch_size=64)
     out_small = estimator.estimate_poses_batched(
         images, boxes, box_valid, num_aug=2, internal_batch_size=2)
+    # Only VALID slots carry defined results: padding slots may hold either
+    # masked garbage (computed chunk) or the skip placeholder (all-invalid
+    # chunk skipped at runtime).
     np.testing.assert_allclose(
-        np.asarray(out_big['poses3d']), np.asarray(out_small['poses3d']),
-        rtol=2e-3, atol=2e-1)
+        np.asarray(out_big['poses3d'])[box_valid],
+        np.asarray(out_small['poses3d'])[box_valid],
+        rtol=2e-3, atol=1.0)
 
 
 def test_invalid_boxes_do_not_affect_valid(estimator, test_data):
@@ -187,3 +195,22 @@ def test_tiled_warp_backend_matches_gather(estimator, test_data):
     p2_t = np.asarray(out_t['poses2d'])[valid]
     p2_g = np.asarray(out_g['poses2d'])[valid]
     np.testing.assert_allclose(p2_t, p2_g, atol=0.05)
+
+
+def test_padding_chunks_are_skipped_cheaply(estimator, test_data):
+    """With valid-first compaction, an almost-empty box set produces valid
+    results identical to a dense computation of the same boxes (the skip
+    branch must never run for a chunk containing any valid box)."""
+    images, boxes, box_valid = test_data
+    sparse_valid = np.zeros_like(box_valid)
+    sparse_valid[0, 1] = True  # a single valid box in a non-first slot
+    out = estimator.estimate_poses_batched(
+        images, boxes, sparse_valid, num_aug=2, internal_batch_size=2)
+    p = np.asarray(out['poses3d'])
+    assert np.all(np.isfinite(p[sparse_valid]))
+    # Same single box alone must give the same pose (chunk = exactly it).
+    out_single = estimator.estimate_poses_batched(
+        images[:1], boxes[:1, 1:2], sparse_valid[:1, 1:2],
+        num_aug=2, internal_batch_size=2)
+    np.testing.assert_allclose(
+        p[0, 1], np.asarray(out_single['poses3d'])[0, 0], rtol=1e-4, atol=0.1)
