@@ -58,18 +58,30 @@ def bench_fused_pipeline():
         lambda c, k, v: model.apply(params, c, k, train=False, sample_valid=v),
         H36M_17, cfg, detector=PersonDetector(det_model, det_vars))
 
-    def run():
+    def run(threshold):
         return est.detect_poses_batched(
-            images, num_aug=2, max_detections=16)['poses3d']
+            images, num_aug=2, max_detections=16,
+            detector_threshold=threshold)['poses3d']
 
-    jax.block_until_ready(run())
-    times = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        out = run()
-        __import__('numpy').asarray(out)
-        times.append(time.perf_counter() - t0)
-    return frames / min(times)
+    # Two deterministic workload regimes (the threshold is a traced scalar,
+    # so both share one compiled program):
+    #  - dense: threshold 0 forces all 16 detection slots valid per frame
+    #    (256 crops/batch — the worst case, and the regime round-1 always
+    #    paid because padding was not skipped);
+    #  - sparse: threshold 1.0 yields zero valid detections, exposing the
+    #    detector + fixed pipeline overhead floor that real few-person
+    #    scenes approach thanks to runtime chunk skipping.
+    def timeit(threshold):
+        jax.block_until_ready(run(threshold))
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            out = run(threshold)
+            np.asarray(out)
+            times.append(time.perf_counter() - t0)
+        return frames / min(times)
+
+    return timeit(0.0), timeit(1.0)
 
 
 def main():
@@ -139,10 +151,10 @@ def main():
     t_n = min(timed(run_n) for _ in range(3))
     crops_per_sec = batch * (iters - 1) / max(t_n - t_1, 1e-9)
 
-    fused_fps = None
+    fused = None
     if not os.environ.get('BENCH_SKIP_FUSED'):
         try:
-            fused_fps = bench_fused_pipeline()
+            fused = bench_fused_pipeline()
         except Exception as e:  # keep the headline metric robust
             print(f'fused bench failed: {e!r}', file=sys.stderr)
 
@@ -152,9 +164,11 @@ def main():
         'unit': 'crops/s',
         'vs_baseline': round(crops_per_sec / ROUND1_CROPS_PER_SEC, 4),
     }
-    if fused_fps is not None:
-        record['fused_detect_fps'] = round(fused_fps, 2)
-        record['fused_detect_vs_r01'] = round(fused_fps / ROUND1_FUSED_FPS, 4)
+    if fused is not None:
+        dense_fps, sparse_fps = fused
+        record['fused_detect_fps'] = round(dense_fps, 2)
+        record['fused_detect_vs_r01'] = round(dense_fps / ROUND1_FUSED_FPS, 4)
+        record['fused_detect_fps_sparse'] = round(sparse_fps, 2)
     print(json.dumps(record))
 
 

@@ -62,6 +62,8 @@ def main(argv=None):
     parser.add_argument('--boxes', default=None,
                         help='person boxes as "x,y,w,h;x,y,w,h;..."')
     parser.add_argument('--out', default=None)
+    parser.add_argument('--out-3d', default=None,
+                        help='write a matplotlib 3D scene (+2D panel) here')
     parser.add_argument('--num-aug', type=int, default=5)
     parser.add_argument('--skeleton', default='')
     parser.add_argument('--fov', type=float, default=55.0)
@@ -107,6 +109,13 @@ def main(argv=None):
         vis = draw_poses(image, result['poses2d'], edges)
         cv2.imwrite(args.out, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
         print(f'wrote {args.out}')
+
+    if args.out_3d:
+        from metrabs_tpu.utils.viz import plot_poses_3d
+        edges = estimator.skeletons.joint_edges(args.skeleton)
+        plot_poses_3d(result['poses3d'], edges, out_path=args.out_3d,
+                      image=image, poses2d=result['poses2d'])
+        print(f'wrote {args.out_3d}')
 
 
 if __name__ == '__main__':

@@ -397,7 +397,10 @@ class PersonDetector:
         target_h = int(factor * orig_h)
         target_w = int(factor * orig_w)
 
-        # Gamma-correct resize (`person_detector.py:21-24`).
+        # Gamma-correct resize (`person_detector.py:21-24`). Measured note:
+        # XLA fuses the gamma decode into the antialiased resize convolution;
+        # a box-filter-pyramid "optimization" of this step benchmarked 34%
+        # SLOWER (extra full-res materializations on the NHWC layout).
         lin = (images.astype(jnp.float32) / 255.0) ** 2.2
         lin = jax.image.resize(
             lin, (n, target_h, target_w, 3), method='linear', antialias=factor < 1)

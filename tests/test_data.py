@@ -196,3 +196,21 @@ class TestImproc:
         img = np.arange(256, dtype=np.uint8).reshape(16, 16)
         expected = (np.linspace(0, 1, 256) ** 0.67 * 255).astype(np.uint8)[img]
         np.testing.assert_array_equal(improc.adjust_gamma(img, 0.67), expected)
+
+
+class TestViz:
+
+    def test_draw_and_plot(self, rng, tmp_path):
+        from metrabs_tpu.pipeline.skeletons import H36M_17
+        from metrabs_tpu.utils.viz import draw_poses_2d, plot_poses_3d
+        image = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        poses2d = rng.uniform(0, 120, size=(2, 17, 2)).astype(np.float32)
+        poses3d = rng.normal(size=(2, 17, 3)).astype(np.float32) * 200
+        poses2d[1, 3] = np.nan  # NaN joints must be skipped, not crash
+        out = draw_poses_2d(image, poses2d, H36M_17.edges)
+        assert out.shape == image.shape and out.dtype == np.uint8
+        path = str(tmp_path / 'scene.png')
+        plot_poses_3d(poses3d, H36M_17.edges, out_path=path,
+                      image=image, poses2d=poses2d)
+        import os
+        assert os.path.getsize(path) > 1000
