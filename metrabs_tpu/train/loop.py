@@ -122,14 +122,24 @@ def make_train_step(
     return train_step
 
 
-def make_sharded_train_step(train_step, mesh):
+def make_sharded_train_step(train_step, mesh, donate_state=None):
     """jit the train step with batches sharded over the mesh's data axis and
-    state replicated; XLA inserts the gradient psum over ICI."""
+    state replicated; XLA inserts the gradient psum over ICI.
+
+    With `donate_state` the input state is DONATED: params/opt_state/EMA
+    buffers update in place instead of being copied every step (~3x the
+    parameter bytes of HBM traffic saved). Default OFF: XLA:CPU's in-process
+    collectives crash with donated replicated operands on the virtual mesh,
+    and the axon-tunneled TPU backend rejects donation (InvalidArgument,
+    measured 2026-08); enable on directly-attached TPU runtimes."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if donate_state is None:
+        donate_state = False
     batch_sh = NamedSharding(mesh, P('data'))
     repl = NamedSharding(mesh, P())
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_sh, batch_sh, repl),
-        out_shardings=(repl, repl))
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else ())
