@@ -301,3 +301,51 @@ def load_aspset_examples(
                 bbox=np.array([x1, y1, x2 - x1, y2 - y1], np.float32),
                 world_coords=np.full((17, 3), np.nan, np.float32)))
     return examples
+
+
+def load_3dhp_test_frames(root: str, camera_json: str):
+    """MPI-INF-3DHP test set (`predict_tdhp.py:52-67`): per-sequence valid
+    frames from `TS{n}/annot_data.mat` (MATLAB v7.3 = HDF5) plus the test
+    cameras from a JSON ({"subj1_4": {"intrinsic_matrix", "extrinsic_matrix",
+    "distortion"?}, "subj5_6": {...}} — the posepile
+    get_test_camera_subj1_4/5_6 constants exported once).
+
+    Returns [(sequence_name, frame_paths, camera)] — the 3DHP protocol runs
+    the DETECTOR (max_detections=1), so there are no ground-truth boxes and
+    the output of this adapter feeds apps/predict_3dhp rather than Example3D
+    lists. Ground truth for evaluation lives in the same annot_data.mat
+    (annot3/univ_annot3) and is read by the eval side separately.
+    """
+    import json
+
+    import h5py
+
+    with open(camera_json) as f:
+        cams = json.load(f)
+
+    def make_cam(d):
+        ext = np.asarray(d.get('extrinsic_matrix', np.eye(4)), np.float32)
+        if ext.shape == (3, 4):
+            ext = np.concatenate([ext, [[0, 0, 0, 1]]], 0).astype(np.float32)
+        return Camera(
+            extrinsic_matrix=ext,
+            intrinsic_matrix=np.asarray(d['intrinsic_matrix'], np.float32),
+            distortion_coeffs=np.asarray(d.get('distortion', []), np.float32)
+            if d.get('distortion') else None,
+            world_up=(0, 1, 0))
+
+    cam1_4 = make_cam(cams['subj1_4'])
+    cam5_6 = make_cam(cams['subj5_6'])
+    sequences = []
+    for subj in range(1, 7):
+        annot_path = os.path.join(root, f'TS{subj}', 'annot_data.mat')
+        if not os.path.exists(annot_path):
+            continue
+        with h5py.File(annot_path, 'r') as m:
+            valid_frames = np.where(np.asarray(m['valid_frame'])[:, 0])[0]
+        frame_paths = [
+            os.path.join(root, f'TS{subj}', 'imageSequence',
+                         f'img_{i + 1:06d}.jpg') for i in valid_frames]
+        sequences.append((f'TS{subj}', frame_paths,
+                          cam1_4 if subj <= 4 else cam5_6))
+    return sequences

@@ -162,3 +162,34 @@ class TestNewSkeletons:
         reg = SkeletonRegistry(H36M_17)
         assert 'kinectv2_25' not in reg.skeleton_names  # needs hands/feet
         assert 'h36m_17' in reg.skeleton_names
+
+
+class Test3DHPAdapter:
+
+    def test_valid_frames_and_cameras(self, rng, tmp_path):
+        import h5py
+        from metrabs_tpu.data.datasets import load_3dhp_test_frames
+        root = str(tmp_path)
+        for subj, n in ((1, 10), (5, 6)):
+            os.makedirs(os.path.join(root, f'TS{subj}'))
+            valid = np.zeros((n, 1), np.float64)
+            valid[::2] = 1
+            with h5py.File(os.path.join(root, f'TS{subj}',
+                                        'annot_data.mat'), 'w') as m:
+                m['valid_frame'] = valid
+        cams = dict(
+            subj1_4=dict(intrinsic_matrix=[[1500.0, 0, 1024], [0, 1500.0, 1024],
+                                           [0, 0, 1]]),
+            subj5_6=dict(intrinsic_matrix=[[1600.0, 0, 960], [0, 1600.0, 540],
+                                           [0, 0, 1]],
+                         extrinsic_matrix=np.eye(4).tolist()))
+        cam_path = os.path.join(root, 'cams.json')
+        with open(cam_path, 'w') as f:
+            json.dump(cams, f)
+        seqs = load_3dhp_test_frames(root, cam_path)
+        assert [s[0] for s in seqs] == ['TS1', 'TS5']
+        assert len(seqs[0][1]) == 5 and len(seqs[1][1]) == 3
+        assert seqs[0][1][0].endswith('img_000001.jpg')
+        assert seqs[0][1][1].endswith('img_000003.jpg')  # 1-based, valid only
+        assert seqs[0][2].intrinsic_matrix[0, 0] == 1500.0
+        assert seqs[1][2].intrinsic_matrix[0, 0] == 1600.0
