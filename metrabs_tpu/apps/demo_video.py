@@ -4,9 +4,17 @@ equivalent; cv2.VideoCapture instead of the reference's ffmpeg IODataset).
 Frames are batched (--frame-batch) so the fused detect/estimate graph runs at
 full device utilization; an optional overlay video is written out.
 
+One compiled program per run: the trailing partial batch is padded to
+--frame-batch (results sliced back), and --letterbox HxW resizes+pads every
+frame to a canonical resolution with the intrinsics transformed to match —
+so feeds with varying source sizes share one executable instead of
+thrashing the compile cache (`pipeline/estimator.py` detect_poses_batched
+docstring).
+
 Usage:
   python -m metrabs_tpu.apps.demo_video --video in.mp4 \
-      [--package dir] [--out out.mp4] [--max-frames N] [--fov 55]
+      [--package dir] [--out out.mp4] [--max-frames N] [--fov 55] \
+      [--letterbox 1080x1920]
 """
 
 from __future__ import annotations
@@ -15,6 +23,28 @@ import argparse
 import json
 
 import numpy as np
+
+
+def fov_intrinsics(fov_degrees: float, h: int, w: int) -> np.ndarray:
+    """Host-side copy of `ops/camera.intrinsics_from_fov` (larger side spans
+    the FOV, principal point at center)."""
+    focal = max(h, w) / (np.tan(np.radians(fov_degrees) / 2) * 2)
+    return np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
+                    np.float32)
+
+
+def letterbox_frame(rgb: np.ndarray, out_h: int, out_w: int):
+    """Aspect-preserving resize onto a zero canvas; returns the canvas and
+    the (scale, x_offset, y_offset) mapping original -> canvas pixels."""
+    import cv2
+    h, w = rgb.shape[:2]
+    s = min(out_h / h, out_w / w)
+    nh, nw = int(round(h * s)), int(round(w * s))
+    resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_AREA)
+    canvas = np.zeros((out_h, out_w, 3), np.uint8)
+    oy, ox = (out_h - nh) // 2, (out_w - nw) // 2
+    canvas[oy:oy + nh, ox:ox + nw] = resized
+    return canvas, s, ox, oy
 
 
 def main(argv=None):
@@ -28,7 +58,15 @@ def main(argv=None):
     parser.add_argument('--frame-batch', type=int, default=8)
     parser.add_argument('--max-frames', type=int, default=0)
     parser.add_argument('--max-boxes', type=int, default=8)
+    parser.add_argument(
+        '--letterbox', default=None,
+        help='HxW canonical frame size (e.g. 1080x1920): resize+pad frames '
+             'and transform intrinsics so any source shares one program')
     args = parser.parse_args(argv)
+    letterbox_hw = None
+    if args.letterbox:
+        lh, lw = args.letterbox.lower().split('x')
+        letterbox_hw = (int(lh), int(lw))
 
     import cv2
     from metrabs_tpu.apps.demo_image import build_default_estimator, draw_poses
@@ -60,22 +98,49 @@ def main(argv=None):
         if done and args.max_frames:
             batch = batch[:max(0, args.max_frames - n_frames)]
         if batch and (len(batch) == args.frame_batch or done):
-            images = np.stack(batch)
+            n_real = len(batch)
+            intrinsics = None
+            if letterbox_hw is not None:
+                lh, lw = letterbox_hw
+                boxed = [letterbox_frame(rgb, lh, lw) for rgb in batch]
+                frames_in = [b[0] for b in boxed]
+                # K' = shift/scale @ K_fov(original size): the letterboxed
+                # canvas keeps the original camera's geometry exactly.
+                intrinsics = np.stack([
+                    np.array([[s, 0, ox], [0, s, oy], [0, 0, 1]], np.float32)
+                    @ fov_intrinsics(args.fov, *rgb.shape[:2])
+                    for rgb, (_, s, ox, oy) in zip(batch, boxed)])
+                unmaps = [(s, ox, oy) for _, s, ox, oy in boxed]
+            else:
+                frames_in = batch
+                unmaps = [(1.0, 0, 0)] * n_real
+            # Pad the trailing partial batch to the full --frame-batch so it
+            # reuses the same compiled program; padded rows are dropped.
+            while len(frames_in) < args.frame_batch:
+                frames_in = frames_in + [frames_in[-1]]
+                if intrinsics is not None:
+                    intrinsics = np.concatenate(
+                        [intrinsics, intrinsics[-1:]], axis=0)
+            images = np.stack(frames_in)
             if estimator.detector is not None:
                 result = estimator.detect_poses_batched(
                     images, num_aug=args.num_aug, skeleton=args.skeleton,
-                    default_fov_degrees=args.fov,
+                    default_fov_degrees=args.fov, intrinsic_matrix=intrinsics,
                     max_detections=args.max_boxes)
             else:
                 h, w = images.shape[1:3]
                 boxes = np.tile(
                     np.array([[[w * .25, h * .05, w * .5, h * .9]]], np.float32),
-                    (len(batch), 1, 1))
+                    (images.shape[0], 1, 1))
                 result = estimator.estimate_poses_batched(
                     images, boxes, num_aug=args.num_aug, skeleton=args.skeleton,
-                    default_fov_degrees=args.fov)
-            poses2d = np.asarray(result['poses2d'])
-            valid = np.asarray(result['valid'])
+                    default_fov_degrees=args.fov, intrinsic_matrix=intrinsics)
+            poses2d = np.array(result['poses2d'])[:n_real]
+            valid = np.asarray(result['valid'])[:n_real]
+            # Map overlay coordinates back to original-frame pixels.
+            for bi, (s, ox, oy) in enumerate(unmaps):
+                poses2d[bi, ..., 0] = (poses2d[bi, ..., 0] - ox) / s
+                poses2d[bi, ..., 1] = (poses2d[bi, ..., 1] - oy) / s
             for bi, rgb in enumerate(batch):
                 n_poses_total += int(valid[bi].sum())
                 if args.out:

@@ -49,10 +49,12 @@ class ModelConfig:
     # forces the XLA path; 'tiled' forces the kernel; 'tiled-interpret' runs
     # the kernel in interpreter mode (CPU tests of the TPU code path).
     warp_backend: str = 'auto'
-    # Matmul precision inside the tiled warp: 'highest' reproduces f32
-    # bilinear weights exactly (3-pass MXU); 'default' quantizes the hat
-    # weights/pixels to bf16 (~4e-3 max pixel error, ~1.6x faster).
-    warp_precision: str = 'highest'
+    # Matmul precision inside the tiled warp: 'high' = bf16x3 hi/lo-split
+    # dots (~1e-5 max pixel error — numerically f32-equivalent, half the
+    # MXU passes of 'highest'); 'highest' = exact f32 (6-pass); 'bf16' =
+    # single-pass (~4e-3 max pixel error ~= the u8 source quantization,
+    # fastest — measure pose delta on trained weights before serving).
+    warp_precision: str = 'high'
 
     @property
     def num_heatmap_bins(self) -> int:

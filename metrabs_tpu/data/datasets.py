@@ -164,6 +164,86 @@ def load_h36m_cameras(path: str):
     return cameras
 
 
+H36M_METADATA_SUBJECTS = tuple(f'S{i}' for i in range(1, 12))  # S1..S11
+
+
+def h36m_rotation_from_angles(angles: np.ndarray) -> np.ndarray:
+    """Euler angles (radians) -> rotation matrix, official H36M composition
+    (the release's `rotationMatrix.m`: R = Rx(a1) @ Ry(a2) @ Rz(a3))."""
+    a1, a2, a3 = (float(a) for a in angles)
+    c1, s1 = np.cos(a1), np.sin(a1)
+    c2, s2 = np.cos(a2), np.sin(a2)
+    c3, s3 = np.cos(a3), np.sin(a3)
+    rx = np.array([[1, 0, 0], [0, c1, -s1], [0, s1, c1]], np.float64)
+    ry = np.array([[c2, 0, s2], [0, 1, 0], [-s2, 0, c2]], np.float64)
+    rz = np.array([[c3, -s3, 0], [s3, c3, 0], [0, 0, 1]], np.float64)
+    return (rx @ ry @ rz).astype(np.float32)
+
+
+def load_h36m_metadata_xml(path: str):
+    """Human3.6M camera parameters straight from the official release's
+    `metadata.xml` (the reference gets them via posepile,
+    `predict_h36m.py:103-105`).
+
+    The `<w0>` element is a 300-float vector: 264 extrinsic values packed
+    camera-major as [4 cameras][11 subjects][rx ry rz tx ty tz] followed by
+    36 intrinsic values as [4 cameras][fx fy cx cy k1 k2 k3 p1 p2] (the
+    official Matlab `H36MCamera` layout; 264 = 4*11*6, 36 = 4*9). T is the
+    camera center in world mm; the returned extrinsics use x_cam = R @ x + t
+    with t = -R @ T. The Euler composition constant (Rx@Ry@Rz) cannot be
+    unit-tested without real data — when a community JSON export is also on
+    disk, run `validate_h36m_metadata_against_json` once to confirm parity.
+
+    Returns {(subject, camera_id): Camera} like `load_h36m_cameras`.
+    """
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    w0_text = root.find('.//w0').text.strip()
+    if w0_text.startswith('['):
+        w0_text = w0_text[1:-1]
+    w0 = np.array([float(x) for x in w0_text.split()], np.float64)
+    if w0.size != 300:
+        raise ValueError(f'Expected 300 w0 values in {path}, got {w0.size}')
+    n_sub = len(H36M_METADATA_SUBJECTS)
+    extr = w0[:264].reshape(4, n_sub, 6)
+    intr = w0[264:].reshape(4, 9)
+    cameras = {}
+    for i_cam, cam_id in enumerate(H36M_CAMERA_IDS):
+        fx, fy, cx, cy, k1, k2, k3, p1, p2 = intr[i_cam]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        dist = np.array([k1, k2, p1, p2, k3], np.float32)  # OpenCV order
+        for i_sub, subject in enumerate(H36M_METADATA_SUBJECTS):
+            R = h36m_rotation_from_angles(extr[i_cam, i_sub, :3])
+            T = extr[i_cam, i_sub, 3:6]  # camera center, world mm
+            extrinsic = np.eye(4, dtype=np.float32)
+            extrinsic[:3, :3] = R
+            extrinsic[:3, 3] = (-R @ T).astype(np.float32)
+            cameras[(subject, cam_id)] = Camera(
+                extrinsic_matrix=extrinsic, intrinsic_matrix=K,
+                distortion_coeffs=dist, world_up=(0, 0, 1))
+    return cameras
+
+
+def validate_h36m_metadata_against_json(xml_path: str, json_path: str,
+                                        atol_deg: float = 0.1) -> None:
+    """Asserts the xml parse agrees with the community JSON export for every
+    (subject, camera) with data — catches a wrong Euler/packing convention
+    loudly instead of silently producing bad world coordinates."""
+    from_xml = load_h36m_metadata_xml(xml_path)
+    from_json = load_h36m_cameras(json_path)
+    for key, cam_j in from_json.items():
+        cam_x = from_xml[key]
+        r_rel = cam_x.extrinsic_matrix[:3, :3] @ cam_j.extrinsic_matrix[:3, :3].T
+        angle = np.degrees(np.arccos(np.clip((np.trace(r_rel) - 1) / 2, -1, 1)))
+        assert angle < atol_deg, f'{key}: rotation differs by {angle:.3f} deg'
+        np.testing.assert_allclose(
+            cam_x.extrinsic_matrix[:3, 3], cam_j.extrinsic_matrix[:3, 3],
+            atol=5.0, err_msg=str(key))
+        np.testing.assert_allclose(
+            cam_x.intrinsic_matrix, cam_j.intrinsic_matrix, atol=0.5,
+            err_msg=str(key))
+
+
 H36M_CAMERA_IDS = ('54138969', '55011271', '58860488', '60457274')
 # H36M 32-joint raw annotation -> the 17 evaluation joints, in the order the
 # reference uses (`predict_h36m.py:112`).
@@ -179,13 +259,19 @@ def load_h36m_examples(
     first-party CDF parser), every `frame_step`-th frame, the published
     `BBoxes/*.npy` person boxes, all 4 cameras.
 
+    `cameras_json` accepts either the community JSON export or the official
+    release's `metadata.xml` (dispatch by extension).
+
     Directory layout: `<root>/S{i}/MyPoseFeatures/D3_Positions/{act}.cdf`,
     `<root>/S{i}/BBoxes/{act}.{cam}.npy`,
     `<root>/S{i}/Images/{act}.{cam}/frame_{k:06d}.jpg`.
     """
     from metrabs_tpu.utils import cdf as cdf_mod
     assert n_joints == 17, 'only the 17-joint protocol subset is built in'
-    cameras = load_h36m_cameras(cameras_json)
+    if cameras_json.endswith('.xml'):
+        cameras = load_h36m_metadata_xml(cameras_json)
+    else:
+        cameras = load_h36m_cameras(cameras_json)
     examples = []
     for i_subject in subjects:
         coord_dir = os.path.join(

@@ -23,10 +23,23 @@ Geometry of the tiling: output tiles are TR x TC = 32 x 32 pixels (square =
 rotation-invariant footprint); at in-level scale > 0.5 (guaranteed by level
 selection for crop_scale > 1/8) a tile's source span per axis is at most
 32*sqrt(2) / 0.5 + 2 (bilinear) + 2 (origin margin) = 95 px. Window origins
-are quantized to the HBM (8, 128) tiling (Mosaic slice alignment), adding up
-to 7 rows / 127 cols of slack, so the 104 x 256 window always covers the
-footprint. For crop_scale <= 1/8 (a box larger than ~8x the crop resolution —
-beyond the reference's 3-level pyramid too) samples clamp to the window edge.
+must start on the HBM (8, 128) tiling (Mosaic slice alignment). Rows
+quantize to 8 (slack <= 7 -> WIN_R 104); columns quantize to 128 (slack <=
+127 -> WIN_C 256, 2.5x the footprint). The N_SHIFTS machinery can shrink
+WIN_C to 128 by storing column-pre-shifted canvas copies stacked along rows
+(any 32-aligned origin is 128-aligned in one copy), but measured on v5e
+(scripts/bench_warp_precision.py) that only wins for 6-pass f32 dots
+(0.29 vs 0.41 ms/crop) and LOSES for 1-pass bf16 (0.18 vs 0.15) at 4x the
+canvas HBM + ~6 ms/batch extra build — so the shipped config is N_SHIFTS=1
+(plain 256 window). For crop_scale <= 1/8 (a box larger than ~8x the crop
+resolution — beyond the reference's 3-level pyramid too) samples clamp to
+the window edge.
+
+MXU precision modes (`precision`), measured kernel-only at 64 crops/8x1080p:
+'f32' (6-pass HIGHEST, 0.41 ms/crop; exact-f32), 'bf16x3' (three 1-pass
+dots on hi/lo bf16 splits, 0.26 ms/crop, error ~1e-5 — numerically
+f32-equivalent; the default via ModelConfig.warp_precision='high'), 'bf16'
+(one pass, 0.15 ms/crop, error ~4e-3 ~= the u8 source quantization).
 """
 
 from __future__ import annotations
@@ -47,7 +60,9 @@ from metrabs_tpu.ops.distortion import pad_distortion_coeffs
 TR, TC = 32, 32          # output tile shape (rows, cols)
 P = TR * TC              # pixels per tile
 WIN_R = 104              # >= 95 px footprint + 7 rows of 8-alignment slack
-WIN_C = 256              # >= 95 px footprint + 127 cols of 128-alignment slack
+WIN_C = 256              # >= 95 px footprint + 127 cols of alignment slack
+N_SHIFTS = 1             # shifted canvas copies (see docstring; 1 = off)
+SHIFT = 128 // N_SHIFTS  # column shift between copies
 N_PARAMS = 32            # padded per-crop f32 parameter vector
 
 
@@ -56,8 +71,11 @@ def _warp_tile_kernel(meta_ref, params_ref, canvas_ref, out_ref, win, sem, *,
     n = pl.program_id(0)
     t = pl.program_id(1)
     # meta is [N, T*8] (flat last axis: SMEM pads the minor dim to 128, so a
-    # [N, T, 8] layout would blow the 1 MB SMEM budget 16x).
-    ox = meta_ref[n, t * 8 + 2]
+    # [N, T, 8] layout would blow the 1 MB SMEM budget 16x). Slots:
+    # 0 image_id, 1 oy_dma (incl. shifted-copy block), 2 ox_dma (128-aligned
+    # within the copy), 3 oy_local, 4 wp, 5 hp, 6 ox_local (32-aligned origin
+    # in ORIGINAL canvas columns; ox_dma = ox_local - SHIFT*copy).
+    ox = meta_ref[n, t * 8 + 6]
     oy_local = meta_ref[n, t * 8 + 3]
     wp = meta_ref[n, t * 8 + 4]
     hp = meta_ref[n, t * 8 + 5]
@@ -127,8 +145,20 @@ def _warp_tile_kernel(meta_ref, params_ref, canvas_ref, out_ref, win, sem, *,
 
     window_dma(lin, lin % 2).wait()
     win2 = win[lin % 2].reshape(3 * WIN_R, WIN_C)
-    s = jnp.dot(win2, vxt, preferred_element_type=jnp.float32,
-                precision=precision)                    # [3*WIN_R, P]
+    dotf = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if precision == 'bf16x3':
+        # Near-f32 accuracy at 3 one-pass dots: split both operands into
+        # bf16 hi + exact-remainder lo, drop the lo*lo term (~2^-18 rel).
+        win_hi = win2.astype(jnp.bfloat16)
+        win_lo = (win2 - win_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        vxt_hi = vxt.astype(jnp.bfloat16)
+        vxt_lo = (vxt - vxt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = (dotf(win_hi, vxt_hi) + dotf(win_hi, vxt_lo)
+             + dotf(win_lo, vxt_hi))                    # [3*WIN_R, P]
+    elif precision == 'bf16':
+        s = dotf(win2.astype(jnp.bfloat16), vxt.astype(jnp.bfloat16))
+    else:  # 'f32'
+        s = dotf(win2, vxt, precision=jax.lax.Precision.HIGHEST)
     rows = [jnp.sum(s[ch * WIN_R:(ch + 1) * WIN_R] * vyt, axis=0,
                     keepdims=True)
             for ch in range(3)]
@@ -183,6 +213,15 @@ def build_pyramid_canvas(images: jnp.ndarray, n_levels: int = 3,
     # WIN_R rows of tail padding guarantee every window placement
     # (oy_local <= hp_l - 2 for any level) stays inside the canvas.
     canvas = jnp.pad(canvas, ((0, 0), (0, 0), (0, WIN_R), (0, 0)))
+    # N_SHIFTS column-shifted copies stacked along rows: copy s holds the
+    # canvas shifted left by SHIFT*s columns, so any SHIFT-aligned window
+    # origin is 128-lane-aligned inside copy (origin // SHIFT) % N_SHIFTS —
+    # this is what lets WIN_C be 128 instead of 256 (module docstring).
+    copies = [canvas] + [
+        jnp.pad(canvas[:, :, :, SHIFT * s:],
+                ((0, 0), (0, 0), (0, 0), (0, SHIFT * s)))
+        for s in range(1, N_SHIFTS)]
+    canvas = jnp.concatenate(copies, axis=2)
     return canvas, np.asarray(level_rows), level_dims
 
 
@@ -200,7 +239,15 @@ def warp_images_with_pyramid_tiled(
     `pyramid_canvas`: optional prebuilt (canvas, level_rows, level_dims) from
     `build_pyramid_canvas` — pass it to amortize the pyramid across chunks
     (when set, `images` may be None).
+    `precision`: 'f32' | 'bf16x3' | 'bf16' (module docstring), also accepts
+    jax.lax.Precision.HIGHEST ('f32') / .DEFAULT ('bf16') for compatibility.
     """
+    if precision in (jax.lax.Precision.HIGHEST, 'highest', 'f32'):
+        precision = 'f32'
+    elif precision in (jax.lax.Precision.HIGH, 'high', 'bf16x3'):
+        precision = 'bf16x3'
+    else:
+        precision = 'bf16'
     oh, ow = output_shape
     if oh % TR or ow % TC:
         raise ValueError(f'output_shape {output_shape} must tile by {(TR, TC)}')
@@ -238,24 +285,29 @@ def warp_images_with_pyramid_tiled(
                         wps[:, None, None].astype(jnp.float32) - 1.0)
     ypad_min = jnp.clip(tmin[..., 1] + 1.0, 0.0,
                         hps[:, None, None].astype(jnp.float32) - 1.0)
-    h_tot, w_canvas = canvas.shape[2], canvas.shape[3]
-    # Quantize origins to the (8, 128) HBM tiling (Mosaic slice alignment).
-    ox = jnp.clip(jnp.floor(xpad_min).astype(jnp.int32) - 1, 0,
-                  w_canvas - WIN_C) & ~127
+    h_tot4, w_canvas = canvas.shape[2], canvas.shape[3]
+    h_block = h_tot4 // N_SHIFTS  # rows per shifted copy
+    # Quantize column origins to SHIFT; the copy whose pre-shift makes the
+    # origin 128-aligned is (ox_local // SHIFT) % N_SHIFTS. Rows quantize
+    # to the 8-row HBM tiling directly.
+    ox_local = jnp.clip(jnp.floor(xpad_min).astype(jnp.int32) - 1, 0,
+                        w_canvas - WIN_C) & ~(SHIFT - 1)
+    copy = (ox_local // SHIFT) % N_SHIFTS
+    ox_dma = ox_local - SHIFT * copy
     oy_local = (jnp.floor(ypad_min).astype(jnp.int32) - 1) & ~7
     oy_local = jnp.clip(oy_local, 0,
-                        jnp.maximum(h_tot - WIN_R - rows0[:, None, None], 0))
-    oy_dma = rows0[:, None, None] + oy_local
+                        jnp.maximum(h_block - WIN_R - rows0[:, None, None], 0))
+    oy_dma = copy * h_block + rows0[:, None, None] + oy_local
 
     bcast = lambda v: jnp.broadcast_to(
         v[:, None, None], (n_crops, n_by, n_bx)).reshape(n_crops, n_tiles)
     meta = jnp.stack([
         bcast(image_ids.astype(jnp.int32)),
         oy_dma.reshape(n_crops, n_tiles),
-        ox.reshape(n_crops, n_tiles),
+        ox_dma.reshape(n_crops, n_tiles),
         oy_local.reshape(n_crops, n_tiles),
         bcast(wps), bcast(hps),
-        jnp.zeros((n_crops, n_tiles), jnp.int32),
+        ox_local.reshape(n_crops, n_tiles),
         jnp.zeros((n_crops, n_tiles), jnp.int32)], axis=-1)
     meta = meta.reshape(n_crops, n_tiles * 8)  # flat minor axis for SMEM
 

@@ -244,9 +244,7 @@ def estimate_poses_batched_fn(
                 crops = warp_pallas.warp_images_with_pyramid_tiled(
                     None, pyramid_canvas=pyramid_canvas,
                     interpret=backend == 'tiled-interpret',
-                    precision=(jax.lax.Precision.HIGHEST
-                               if cfg.warp_precision == 'highest'
-                               else jax.lax.Precision.DEFAULT),
+                    precision=cfg.warp_precision,
                     **warp_kwargs)
             else:
                 crops = warp_ops.warp_images_with_pyramid(

@@ -123,16 +123,54 @@ ASPSET_17 = make_joint_info(
      ('lhip', 'pelv'), ('lwri', 'lelb'), ('lelb', 'lsho'), ('lsho', 'neck'),
      ('htop', 'head'), ('head', 'neck'), ('neck', 'spin'), ('spin', 'pelv')])
 
+SMPL_HEAD_30 = make_joint_info(
+    # The reference's headline demo skeleton: SMPL's 24 body joints plus the
+    # five COCO face keypoints and the head top (posepile 'smpl+head_30').
+    list(SMPL_24.names) + ['nose', 'leye', 'reye', 'lear', 'rear', 'htop'],
+    [(SMPL_24.names[a], SMPL_24.names[b]) for a, b in SMPL_24.edges]
+    + [('head', 'nose'), ('nose', 'leye'), ('nose', 'reye'),
+       ('leye', 'lear'), ('reye', 'rear'), ('head', 'htop')])
+
+JTA_22 = make_joint_info(
+    # JTA (Joint Track Auto) SDK joint order: head_top, head_center, neck,
+    # right clavicle/shoulder/elbow/wrist, left likewise, spine0..spine4
+    # (top to bottom), then right and left hip/knee/ankle.
+    ['htop', 'head', 'neck', 'rcla', 'rsho', 'relb', 'rwri', 'lcla', 'lsho',
+     'lelb', 'lwri', 'spi0', 'spi1', 'spi2', 'spi3', 'spi4', 'rhip', 'rkne',
+     'rank', 'lhip', 'lkne', 'lank'],
+    [('htop', 'head'), ('head', 'neck'), ('neck', 'rcla'), ('rcla', 'rsho'),
+     ('rsho', 'relb'), ('relb', 'rwri'), ('neck', 'lcla'), ('lcla', 'lsho'),
+     ('lsho', 'lelb'), ('lelb', 'lwri'), ('neck', 'spi0'), ('spi0', 'spi1'),
+     ('spi1', 'spi2'), ('spi2', 'spi3'), ('spi3', 'spi4'), ('spi4', 'rhip'),
+     ('rhip', 'rkne'), ('rkne', 'rank'), ('spi4', 'lhip'), ('lhip', 'lkne'),
+     ('lkne', 'lank')])
+
+TOTAL_CAPTURE_21 = make_joint_info(
+    # TotalCapture's released Vicon BVH hierarchy order: Hips, Spine..Spine3,
+    # Neck, Head, Right Shoulder(clavicle)/Arm/ForeArm/Hand, left likewise,
+    # Right UpLeg/Leg/Foot, left likewise.
+    ['pelv', 'spin', 'spi1', 'spi2', 'spi3', 'neck', 'head', 'rcla', 'rsho',
+     'relb', 'rwri', 'lcla', 'lsho', 'lelb', 'lwri', 'rhip', 'rkne', 'rank',
+     'lhip', 'lkne', 'lank'],
+    [('pelv', 'spin'), ('spin', 'spi1'), ('spi1', 'spi2'), ('spi2', 'spi3'),
+     ('spi3', 'neck'), ('neck', 'head'), ('spi3', 'rcla'), ('rcla', 'rsho'),
+     ('rsho', 'relb'), ('relb', 'rwri'), ('spi3', 'lcla'), ('lcla', 'lsho'),
+     ('lsho', 'lelb'), ('lelb', 'lwri'), ('pelv', 'rhip'), ('rhip', 'rkne'),
+     ('rkne', 'rank'), ('pelv', 'lhip'), ('lhip', 'lkne'), ('lkne', 'lank')])
+
 BUILTIN_SKELETONS: Dict[str, JointInfo] = {
     'h36m_17': H36M_17,
     'h36m_25': H36M_25,
     'coco_19': COCO_19,
     'smpl_24': SMPL_24,
+    'smpl+head_30': SMPL_HEAD_30,
     'mpi_inf_3dhp_17': MPI_INF_3DHP_17,
     'mpi_inf_3dhp_28': MPI_INF_3DHP_28,
     'kinectv2_25': KINECTV2_25,
     'aspset_17': ASPSET_17,
     'lsp_14': LSP_14,
+    'jta_22': JTA_22,
+    'total_capture_21': TOTAL_CAPTURE_21,
 }
 
 

@@ -86,6 +86,72 @@ class TestH36MAdapter:
         assert ex.camera.intrinsic_matrix[0, 0] == pytest.approx(1145.0)
 
 
+class TestH36MMetadataXml:
+    """Round-trips a synthetic metadata.xml (official w0 packing) and checks
+    agreement with the JSON loader through the cross-validator. This pins the
+    plumbing (packing indices, t = -R @ T, OpenCV coefficient order); the
+    Euler-composition constant itself needs real data to verify (docstring of
+    `load_h36m_metadata_xml`)."""
+
+    def _make_w0(self, rng):
+        from metrabs_tpu.data.datasets import (
+            H36M_CAMERA_IDS, H36M_METADATA_SUBJECTS)
+        extr = np.zeros((4, 11, 6))
+        extr[..., :3] = rng.uniform(-np.pi, np.pi, size=(4, 11, 3))
+        extr[..., 3:] = rng.uniform(-4000, 4000, size=(4, 11, 3))
+        intr = np.zeros((4, 9))
+        intr[:, 0:2] = rng.uniform(1100, 1160, size=(4, 2))   # fx fy
+        intr[:, 2:4] = rng.uniform(500, 520, size=(4, 2))     # cx cy
+        intr[:, 4:7] = rng.uniform(-0.3, 0.3, size=(4, 3))    # k1 k2 k3
+        intr[:, 7:9] = rng.uniform(-0.003, 0.003, size=(4, 2))  # p1 p2
+        return np.concatenate([extr.reshape(-1), intr.reshape(-1)])
+
+    def _write_xml(self, path, w0):
+        with open(path, 'w') as f:
+            f.write('<metadata><dbcameras><w0>[%s]</w0></dbcameras>'
+                    '</metadata>' % ' '.join(f'{v:.10g}' for v in w0))
+
+    def test_parse_and_cross_validate(self, rng, tmp_path):
+        from metrabs_tpu.data.datasets import (
+            H36M_CAMERA_IDS, H36M_METADATA_SUBJECTS,
+            h36m_rotation_from_angles, load_h36m_metadata_xml,
+            validate_h36m_metadata_against_json)
+        w0 = self._make_w0(rng)
+        xml_path = os.path.join(str(tmp_path), 'metadata.xml')
+        self._write_xml(xml_path, w0)
+        cams = load_h36m_metadata_xml(xml_path)
+        assert len(cams) == 4 * 11
+        # Spot-check one entry against hand-unpacked values.
+        i_cam, i_sub = 2, 5
+        key = (H36M_METADATA_SUBJECTS[i_sub], H36M_CAMERA_IDS[i_cam])
+        cam = cams[key]
+        ext6 = w0[(i_cam * 11 + i_sub) * 6:(i_cam * 11 + i_sub + 1) * 6]
+        R = h36m_rotation_from_angles(ext6[:3])
+        np.testing.assert_allclose(cam.extrinsic_matrix[:3, :3], R, atol=1e-6)
+        np.testing.assert_allclose(
+            cam.extrinsic_matrix[:3, 3], -R @ ext6[3:], rtol=1e-5)
+        intr9 = w0[264 + i_cam * 9:264 + (i_cam + 1) * 9]
+        assert cam.intrinsic_matrix[0, 0] == pytest.approx(intr9[0])
+        assert cam.intrinsic_matrix[1, 2] == pytest.approx(intr9[3])
+        np.testing.assert_allclose(
+            cam.distortion_coeffs,
+            [intr9[4], intr9[5], intr9[7], intr9[8], intr9[6]], rtol=1e-6)
+        # JSON export built from the same ground truth must cross-validate.
+        raw = dict(intrinsics={}, extrinsics={})
+        for key, cam in cams.items():
+            subject, cam_id = key
+            raw['intrinsics'][cam_id] = dict(
+                calibration_matrix=cam.intrinsic_matrix.tolist(),
+                distortion=cam.distortion_coeffs.tolist())
+            raw['extrinsics'].setdefault(subject, {})[cam_id] = dict(
+                R=cam.extrinsic_matrix[:3, :3].tolist(),
+                t=cam.extrinsic_matrix[:3, 3].tolist())
+        json_path = os.path.join(str(tmp_path), 'cameras.json')
+        with open(json_path, 'w') as f:
+            json.dump(raw, f)
+        validate_h36m_metadata_against_json(xml_path, json_path)
+
+
 class Test3DOHAdapter:
 
     def test_annots_json(self, rng, tmp_path):
