@@ -62,7 +62,24 @@ class GhostBatchNorm(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 fold: bool = False):
+        if fold:
+            # Inference-mode folding: declare the SAME variables (the tree
+            # stays checkpoint/import-compatible) but return the per-channel
+            # (scale, bias) f32 constants gamma*rsqrt(var+eps) and
+            # beta - mean*scale instead of applying them — consumed by the
+            # fused MBConv Pallas kernel (ops/mbconv_pallas.py).
+            bn_mod = nn.BatchNorm(
+                use_running_average=True, momentum=self.momentum,
+                epsilon=self.epsilon, dtype=self.dtype,
+                param_dtype=jnp.float32, name='bn')
+            bn_mod(jnp.zeros((1, x.shape[-1]), self.dtype))
+            v = bn_mod.variables
+            scale = v['params']['scale'] * jax.lax.rsqrt(
+                v['batch_stats']['var'] + self.epsilon)
+            bias = v['params']['bias'] - v['batch_stats']['mean'] * scale
+            return scale, bias
         if not train or self.splits <= 1:
             return nn.BatchNorm(
                 use_running_average=not train, momentum=self.momentum,

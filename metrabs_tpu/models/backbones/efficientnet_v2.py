@@ -25,9 +25,11 @@ import re
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from metrabs_tpu.models.backbones import common
+from metrabs_tpu.ops import mbconv_pallas
 
 BN_MOMENTUM = 0.9
 BN_EPSILON = 1e-3
@@ -198,8 +200,13 @@ class SqueezeExcite(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+    def __call__(self, x: jnp.ndarray, precomputed_mean=None) -> jnp.ndarray:
+        """`precomputed_mean` [N, 1, 1, C]: spatial mean already reduced (by
+        the fused MBConv kernel) — skips the in-module reduction."""
+        if precomputed_mean is None:
+            se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        else:
+            se = precomputed_mean.astype(x.dtype)
         se = nn.Conv(self.se_filters, (1, 1), use_bias=True, dtype=self.dtype,
                      param_dtype=jnp.float32, name='reduce')(se)
         se = nn.silu(se)
@@ -212,6 +219,10 @@ class MBConv(nn.Module):
     args: BlockArgs
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
+    # 'off' | 'auto' | 'on' | 'interpret': use the fused Pallas inner chain
+    # (ops/mbconv_pallas.py) at inference. 'auto' = on TPU only. The
+    # parameter tree is identical either way.
+    fuse: str = 'off'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, survival_prob=1.0,
@@ -221,23 +232,50 @@ class MBConv(nn.Module):
         filters = a.input_filters * a.expand_ratio
         bn = lambda name: common.batch_norm(
             BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
-        if a.expand_ratio != 1:
-            x = nn.Conv(filters, (1, 1), use_bias=False, dtype=self.dtype,
+        use_fused = (
+            not train and a.expand_ratio != 1 and a.kernel_size == 3
+            and a.strides == 1 and a.dilation_in == 1
+            and not a.bottomright_stride
+            and (self.fuse in ('on', 'interpret')
+                 or (self.fuse == 'auto'
+                     and jax.default_backend() == 'tpu')))
+        if use_fused:
+            u = nn.Conv(filters, (1, 1), use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name='expand_conv')(x)
-            x = nn.silu(bn('norm0')(x, train))
-        shift = 1 if a.bottomright_stride else 0
-        pads = common.fixed_padding_amounts(a.kernel_size, a.dilation_in, shift)
-        x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
-        x = nn.Conv(
-            filters, (a.kernel_size, a.kernel_size),
-            strides=(a.strides, a.strides),
-            kernel_dilation=(a.dilation_in, a.dilation_in),
-            feature_group_count=filters, padding='VALID', use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name='depthwise_conv')(x)
-        x = nn.silu(bn('norm1')(x, train))
-        if a.se_ratio:
-            se_filters = max(1, int(a.input_filters * a.se_ratio))
-            x = SqueezeExcite(se_filters, filters, dtype=self.dtype, name='se')(x)
+            scale0, bias0 = bn('norm0')(u, train=False, fold=True)
+            dw = nn.Conv(
+                filters, (a.kernel_size, a.kernel_size), strides=(1, 1),
+                feature_group_count=filters, padding='VALID', use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name='depthwise_conv')
+            dw(jnp.zeros((1, 3, 3, filters), self.dtype))  # declare variables
+            dw_kernel = dw.variables['params']['kernel']
+            scale1, bias1 = bn('norm1')(u, train=False, fold=True)
+            x, se_mean = mbconv_pallas.fused_mbconv_inner(
+                u, dw_kernel, scale0, bias0, scale1, bias1,
+                interpret=self.fuse == 'interpret')
+            if a.se_ratio:
+                se_filters = max(1, int(a.input_filters * a.se_ratio))
+                x = SqueezeExcite(se_filters, filters, dtype=self.dtype,
+                                  name='se')(x, se_mean[:, None, None, :])
+        else:
+            if a.expand_ratio != 1:
+                x = nn.Conv(filters, (1, 1), use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, name='expand_conv')(x)
+                x = nn.silu(bn('norm0')(x, train))
+            shift = 1 if a.bottomright_stride else 0
+            pads = common.fixed_padding_amounts(a.kernel_size, a.dilation_in, shift)
+            x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+            x = nn.Conv(
+                filters, (a.kernel_size, a.kernel_size),
+                strides=(a.strides, a.strides),
+                kernel_dilation=(a.dilation_in, a.dilation_in),
+                feature_group_count=filters, padding='VALID', use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32, name='depthwise_conv')(x)
+            x = nn.silu(bn('norm1')(x, train))
+            if a.se_ratio:
+                se_filters = max(1, int(a.input_filters * a.se_ratio))
+                x = SqueezeExcite(se_filters, filters, dtype=self.dtype, name='se')(x)
         x = nn.Conv(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name='project_conv')(x)
         x = bn('norm2')(x, train)
@@ -299,12 +337,14 @@ class _ScanBody(nn.Module):
     ghost_splits: int
     dtype: Any
     train: bool
+    fuse: str = 'off'
 
     @nn.compact
     def __call__(self, carry, survival_prob):
         cls = FusedMBConv if self.args.conv_type == 1 else MBConv
+        kw = {} if self.args.conv_type == 1 else dict(fuse=self.fuse)
         y = cls(args=self.args, ghost_splits=self.ghost_splits,
-                dtype=self.dtype, name='block')(
+                dtype=self.dtype, name='block', **kw)(
             carry, survival_prob, train=self.train)
         return y, None
 
@@ -327,6 +367,12 @@ class EfficientNetV2(nn.Module):
     # Stack within-stage repeated blocks with nn.scan (compile-time win);
     # set False for a flat blocks_{i} param tree (weight-import layout).
     scan_blocks: bool = True
+    # Fused MBConv inner chain at inference (ops/mbconv_pallas.py):
+    # 'off' | 'auto' (TPU only) | 'on' | 'interpret'. Same parameter tree.
+    # Default OFF: measured on v5e, XLA's unfused chain is ~3x faster than
+    # the Pallas fusion (1.2 vs 4.1 ms at [128,24,24,1344] — see the
+    # ops/mbconv_pallas.py docstring for the full negative result).
+    fuse_mbconv: str = 'off'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -356,11 +402,15 @@ class EfficientNetV2(nn.Module):
         drop_rate = 1.0 - SURVIVAL_PROB
         survival = [1.0 - drop_rate * float(i) / n_blocks for i in range(n_blocks)]
 
+        def fuse_kw(args):
+            return {} if args.conv_type == 1 else dict(fuse=self.fuse_mbconv)
+
         if not self.scan_blocks:
             for idx, args in enumerate(blocks):
                 cls = FusedMBConv if args.conv_type == 1 else MBConv
                 h = cls(args=args, ghost_splits=self.ghost_splits,
-                        dtype=self.dtype, name=f'blocks_{idx}')(
+                        dtype=self.dtype, name=f'blocks_{idx}',
+                        **fuse_kw(args))(
                     h, survival[idx], train=train)
         else:
             # Stage-wise: the first block of each stage is standalone (it may
@@ -374,7 +424,8 @@ class EfficientNetV2(nn.Module):
                 args = blocks[idx]
                 cls = FusedMBConv if args.conv_type == 1 else MBConv
                 h = cls(args=args, ghost_splits=self.ghost_splits,
-                        dtype=self.dtype, name=f'blocks_{idx}')(
+                        dtype=self.dtype, name=f'blocks_{idx}',
+                        **fuse_kw(args))(
                     h, survival[idx], train=train)
                 idx += 1
                 n_rest = 0
@@ -393,12 +444,14 @@ class EfficientNetV2(nn.Module):
                         metadata_params={nn.PARTITION_NAME: None})(
                         args=rest_args, ghost_splits=self.ghost_splits,
                         dtype=self.dtype, train=train,
+                        fuse=self.fuse_mbconv,
                         name=f'blocks_{idx}_scan{n_rest}')
                     h, _ = scanned(h, sp)
                     idx += n_rest
                 elif n_rest == 1:
                     h = cls(args=blocks[idx], ghost_splits=self.ghost_splits,
-                            dtype=self.dtype, name=f'blocks_{idx}')(
+                            dtype=self.dtype, name=f'blocks_{idx}',
+                            **fuse_kw(blocks[idx]))(
                         h, survival[idx], train=train)
                     idx += 1
 

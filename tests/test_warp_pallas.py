@@ -84,6 +84,40 @@ def test_tiled_zero_border_outside(rng):
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_precision_bf16x3_is_numerically_f32(rng):
+    # The default ('high' -> bf16x3 hi/lo-split dots) must track the f32
+    # gather oracle to ~1e-4 like the exact-f32 mode does.
+    case = _random_case(rng)
+    ref = np.asarray(warp.warp_images_with_pyramid(**case))
+    got = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='bf16x3'))
+    np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+def test_precision_bf16_within_u8_quantization(rng):
+    # Single-pass bf16: error bounded by ~the u8 source quantization (4e-3).
+    case = _random_case(rng)
+    ref = np.asarray(warp.warp_images_with_pyramid(**case))
+    got = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='bf16'))
+    np.testing.assert_allclose(got, ref, atol=8e-3)
+    # ...and is genuinely coarser than bf16x3 (guards against the mode
+    # strings silently mapping to the same path).
+    got3 = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='bf16x3'))
+    assert np.max(np.abs(got3 - ref)) < np.max(np.abs(got - ref))
+
+
+def test_precision_enum_compat(rng):
+    # jax.lax.Precision values keep working (HIGHEST == 'f32' mode).
+    case = _random_case(rng, n_crops=2)
+    a = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='f32'))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_tiled_output_shape_validation(rng):
     case = _random_case(rng, out=(60, 100))
     with pytest.raises(ValueError):
