@@ -150,7 +150,7 @@ def main(argv=None):
     # Model + optimizer + sharded step.
     model = Metrabs(cfg=cfg, backbone=build_backbone(
         cfg.backbone, ghost_splits=args.ghost_bn_splits,
-        dtype=jnp.dtype(cfg.dtype),
+        dtype=jnp.dtype(cfg.dtype), remat=cfg.backbone_remat,
         stride_test=(cfg.stride_test
                      if cfg.stride_test != cfg.stride_train else None)))
     tx = optim.build_optimizer(tcfg)

@@ -37,6 +37,11 @@ class ModelConfig:
     # produces (io/weights_import.py); the value is recorded in packaged
     # model manifests so load_pose_estimator rebuilds the matching layout.
     backbone_scan_blocks: bool = True
+    # Rematerialize backbone blocks in the backward pass (jax.checkpoint):
+    # ~1/3 extra forward FLOPs for O(1)-per-block activation HBM. Enables
+    # large batch/resolution training on one chip; inference is unaffected
+    # (remat only changes autodiff). Parameter trees are identical.
+    backbone_remat: bool = False
     model_class: str = 'Metrabs'
     # Number of joints the head predicts (reference: joint_info.n_joints).
     n_joints: int = 17
@@ -90,6 +95,11 @@ class TrainConfig:
     ema_momentum: float = 1.0
     grad_accum_steps: int = 1
     dual_finetune_lr: bool = False
+    # Dtype of Adam's first-moment accumulator (optax mu_dtype). 'bfloat16'
+    # halves that third of optimizer memory (~1/3 of opt state); the
+    # second moment stays float32 (bf16 squared-gradient accumulation
+    # underflows). '' keeps float32.
+    optimizer_mu_dtype: str = ''
     loss2d_factor: float = 0.2
     absloss_factor: float = 0.1
     absloss_start_step: int = 5000

@@ -320,7 +320,12 @@ def decode_head(raw: jnp.ndarray, scale_idx: int, input_size: int,
                 strides: Sequence[int] = STRIDES,
                 xyscale: Sequence[float] = XYSCALE) -> jnp.ndarray:
     """Decodes one head's raw output to [N, n_anchors, 4+1+C]:
-    (cx, cy, w, h) in input pixels, objectness, class probs."""
+    (cx, cy, w, h) in input pixels, objectness, class probs.
+
+    Decode always runs in float32 regardless of the net's compute dtype:
+    box coordinates span up to `input_size` pixels, and bf16's 8-bit
+    mantissa would quantize centers to ~1-2 px."""
+    raw = raw.astype(jnp.float32)
     n, gh, gw, _ = raw.shape
     raw = raw.reshape(n, gh, gw, 3, -1)
     txy = raw[..., 0:2]
@@ -401,7 +406,13 @@ class PersonDetector:
         # XLA fuses the gamma decode into the antialiased resize convolution;
         # a box-filter-pyramid "optimization" of this step benchmarked 34%
         # SLOWER (extra full-res materializations on the NHWC layout).
-        lin = (images.astype(jnp.float32) / 255.0) ** 2.2
+        # The resize runs in the net's compute dtype: with bf16 the full-res
+        # linear-light tensor halves its HBM footprint, and bf16's 8-bit
+        # mantissa matches the u8 source quantization (accumulation over the
+        # ~20-tap antialias kernel adds <1% pixel error, below detector
+        # sensitivity).
+        comp_dtype = jnp.dtype(getattr(self.model, 'dtype', jnp.float32))
+        lin = (images.astype(comp_dtype) / jnp.asarray(255.0, comp_dtype)) ** 2.2
         lin = jax.image.resize(
             lin, (n, target_h, target_w, 3), method='linear', antialias=factor < 1)
         resized = lin ** (1 / 2.2)

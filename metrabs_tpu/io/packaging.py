@@ -32,6 +32,7 @@ def save_pose_estimator_package(
         detector_variables: Optional[Any] = None,
         detector_scan_repeats: bool = True,
         detector_type: str = 'yolov4',
+        detector_dtype: str = 'bfloat16',
         skeleton_registry: Optional[SkeletonRegistry] = None,
         bone_mean_lengths: Optional[np.ndarray] = None,
         joint_transform_matrix: Optional[np.ndarray] = None) -> None:
@@ -63,6 +64,7 @@ def save_pose_estimator_package(
         has_detector=detector_variables is not None,
         detector_scan_repeats=detector_scan_repeats,
         detector_type=detector_type,
+        detector_dtype=detector_dtype,
         has_joint_transform=joint_transform_matrix is not None,
         bone_mean_lengths=(
             [float(x) for x in bone_mean_lengths]
@@ -107,6 +109,7 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         detector = PersonDetector(
             build_detector_model(
                 manifest.get('detector_type', 'yolov4'),
+                dtype=jnp.dtype(manifest.get('detector_dtype', 'float32')),
                 scan_repeats=manifest.get('detector_scan_repeats', True)),
             det_variables)
 

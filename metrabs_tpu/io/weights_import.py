@@ -315,11 +315,21 @@ def import_resnet_from_tf(
             pairs.append((bias_path, f'{tf_layer}/bias', None))
 
     def add_bn(module, tf_layer):
-        pairs.extend(_bn_pairs(f'{bb}/{module}/bn', f'{bs}/{module}/bn',
-                               tf_layer))
+        # BatchNorm or GroupNorm per what the flax tree contains; the
+        # groupnorm variant's Keras layers are named *_gn with gamma/beta
+        # only (`metrabs_tf/backbones/resnet.py:174-176,277`).
+        if f'{bb}/{module}/gn/scale' in flat:
+            tf_gn = tf_layer[:-3] + '_gn' if tf_layer.endswith('_bn') \
+                else tf_layer
+            pairs.extend([
+                (f'{bb}/{module}/gn/scale', f'{tf_gn}/gamma', None),
+                (f'{bb}/{module}/gn/bias', f'{tf_gn}/beta', None)])
+        else:
+            pairs.extend(_bn_pairs(f'{bb}/{module}/bn', f'{bs}/{module}/bn',
+                                   tf_layer))
 
     add_conv('stem_conv', 'conv1_conv')
-    if f'{bb}/stem_bn/bn/scale' in flat:
+    if f'{bb}/stem_bn/bn/scale' in flat or f'{bb}/stem_bn/gn/scale' in flat:
         add_bn('stem_bn', 'conv1_bn')
 
     blocks = sorted({
@@ -335,7 +345,8 @@ def import_resnet_from_tf(
             kpath = conv_kernel_path(f'{mod}/conv{j}')
             if kpath in flat:
                 add_conv(f'{mod}/conv{j}', f'{tf_pre}_{j}_conv')
-            if f'{bb}/{mod}/bn{j}/bn/scale' in flat:
+            if (f'{bb}/{mod}/bn{j}/bn/scale' in flat
+                    or f'{bb}/{mod}/bn{j}/gn/scale' in flat):
                 add_bn(f'{mod}/bn{j}', f'{tf_pre}_{j}_bn')
 
     if f'{bb}/post_bn/bn/scale' in flat:

@@ -25,11 +25,16 @@ from metrabs_tpu.models.backbones.tiny import TinyBackbone
 def build_backbone(name: str, *, centered_stride: bool = True,
                    ghost_splits: int = 1, dtype: Any = jnp.bfloat16,
                    scan_blocks: bool = True,
-                   stride_test: int = None) -> nn.Module:
+                   stride_test: int = None,
+                   remat: bool = False) -> nn.Module:
     """`stride_test`: test-time output stride when it differs from training
     (the reference's TrainTestSwitch recipe, `resnet.py:31-32`,
     `docs/TRAINING.md:17-23`). The training stride comes from the name's
     -strideN suffix (default 32). Supported for resnet* and efficientnetv2*.
+
+    `remat`: rematerialize blocks in the backward pass (jax.checkpoint) —
+    ~1/3 extra FLOPs for O(1)-per-block activation HBM; use for large
+    batch/resolution training. Parameter trees are unchanged.
     """
     name = name.lower().replace('_', '-')
     if name.startswith('efficientnetv2'):
@@ -43,20 +48,26 @@ def build_backbone(name: str, *, centered_stride: bool = True,
                                else f'{base}-stride{stride_test}')
         return EfficientNetV2(
             model_name=name, model_name_test=model_name_test,
-            centered_stride=centered_stride,
-            ghost_splits=ghost_splits, dtype=dtype, scan_blocks=scan_blocks)
+            centered_stride=centered_stride, ghost_splits=ghost_splits,
+            dtype=dtype, scan_blocks=scan_blocks, remat=remat)
     if name.startswith('resnet'):
-        m = re.match(r'resnet(\d+)(v1-5|v2)?(?:-stride(\d+))?$', name)
+        m = re.match(
+            r'resnet(\d+)(v1-5|v2)?(-groupnorm)?(?:-stride(\d+))?$', name)
         if not m:
             raise ValueError(f'Cannot parse ResNet name {name!r}')
         depth = int(m.group(1))
         variant = {'v1-5': 'v1_5', 'v2': 'v2', None: ''}[m.group(2)]
-        output_stride = int(m.group(3)) if m.group(3) else 32
+        if m.group(3) and variant == 'v2':
+            # The reference's V2 (preact) block hard-codes BatchNorm
+            # (`metrabs_tf/backbones/resnet.py:411-413`); GroupNorm only
+            # exists for V1/V1.5.
+            raise ValueError('groupnorm is not supported for ResNet V2')
+        output_stride = int(m.group(4)) if m.group(4) else 32
         return ResNet(
             depth=depth, variant=variant, output_stride=output_stride,
             output_stride_test=stride_test,
             centered_stride=centered_stride, ghost_splits=ghost_splits,
-            dtype=dtype)
+            dtype=dtype, use_group_norm=bool(m.group(3)), remat=remat)
     if stride_test is not None:
         raise ValueError(
             f'stride_test is only supported for resnet/efficientnetv2 '
@@ -68,7 +79,7 @@ def build_backbone(name: str, *, centered_stride: bool = True,
         return MobileNetV3(
             model_type=m.group(1), minimalistic=bool(m.group(2)),
             centered_stride=centered_stride, ghost_splits=ghost_splits,
-            dtype=dtype)
+            dtype=dtype, remat=remat)
     if name.startswith('tiny'):
         return TinyBackbone(dtype=dtype)
     raise ValueError(f'No backbone builder found for {name!r}')

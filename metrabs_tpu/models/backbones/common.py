@@ -107,6 +107,23 @@ def batch_norm(momentum: float, epsilon: float, dtype, name: str,
         name=name)
 
 
+class GroupNormCompat(nn.Module):
+    """GroupNorm with the (x, train) call signature of GhostBatchNorm so the
+    two are interchangeable in block builders. Keras GroupNormalization
+    defaults (the reference's resnet50v1_5_groupnorm variant,
+    `metrabs_tf/backbones/resnet.py:174-176`): 32 groups, BN's epsilon."""
+
+    epsilon: float = 1e-5
+    groups: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.GroupNorm(
+            num_groups=self.groups, epsilon=self.epsilon, dtype=self.dtype,
+            param_dtype=jnp.float32, name='gn')(x)
+
+
 def stochastic_depth(x: jnp.ndarray, residual: jnp.ndarray,
                      survival_prob, train: bool, rng=None) -> jnp.ndarray:
     """Residual add with drop-connect (`effnetv2_model.py:265-276`).

@@ -373,6 +373,13 @@ class EfficientNetV2(nn.Module):
     # the Pallas fusion (1.2 vs 4.1 ms at [128,24,24,1344] — see the
     # ops/mbconv_pallas.py docstring for the full negative result).
     fuse_mbconv: str = 'off'
+    # Rematerialize every block in the backward pass (jax.checkpoint per
+    # block / per scanned stage): stores only block boundaries forward and
+    # recomputes interiors during backprop — the standard TPU HBM lever
+    # that trades ~1/3 extra FLOPs for O(1)-per-block activation memory.
+    # Parameter tree is identical either way (verified: lifted remat does
+    # not alter variable structure).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -405,13 +412,25 @@ class EfficientNetV2(nn.Module):
         def fuse_kw(args):
             return {} if args.conv_type == 1 else dict(fuse=self.fuse_mbconv)
 
+        if self.remat:
+            # train is positional argnum 3 (self=0); it drives Python
+            # control flow inside the block so it must be static.
+            block_for = lambda args: nn.remat(
+                FusedMBConv if args.conv_type == 1 else MBConv,
+                static_argnums=(3,), prevent_cse=False)
+            scan_body = nn.remat(_ScanBody, prevent_cse=False)
+        else:
+            block_for = lambda args: (
+                FusedMBConv if args.conv_type == 1 else MBConv)
+            scan_body = _ScanBody
+
         if not self.scan_blocks:
             for idx, args in enumerate(blocks):
-                cls = FusedMBConv if args.conv_type == 1 else MBConv
-                h = cls(args=args, ghost_splits=self.ghost_splits,
-                        dtype=self.dtype, name=f'blocks_{idx}',
-                        **fuse_kw(args))(
-                    h, survival[idx], train=train)
+                h = block_for(args)(
+                    args=args, ghost_splits=self.ghost_splits,
+                    dtype=self.dtype, name=f'blocks_{idx}',
+                    **fuse_kw(args))(
+                    h, survival[idx], train)
         else:
             # Stage-wise: the first block of each stage is standalone (it may
             # change stride/filters); the remaining identical blocks are ONE
@@ -422,11 +441,11 @@ class EfficientNetV2(nn.Module):
             idx = 0
             while idx < n_blocks:
                 args = blocks[idx]
-                cls = FusedMBConv if args.conv_type == 1 else MBConv
-                h = cls(args=args, ghost_splits=self.ghost_splits,
-                        dtype=self.dtype, name=f'blocks_{idx}',
-                        **fuse_kw(args))(
-                    h, survival[idx], train=train)
+                h = block_for(args)(
+                    args=args, ghost_splits=self.ghost_splits,
+                    dtype=self.dtype, name=f'blocks_{idx}',
+                    **fuse_kw(args))(
+                    h, survival[idx], train)
                 idx += 1
                 n_rest = 0
                 while idx + n_rest < n_blocks and blocks[idx + n_rest] == dataclasses.replace(
@@ -437,7 +456,7 @@ class EfficientNetV2(nn.Module):
                     rest_args = blocks[idx]
                     sp = jnp.asarray(survival[idx:idx + n_rest], jnp.float32)
                     scanned = nn.scan(
-                        _ScanBody,
+                        scan_body,
                         variable_axes={'params': 0, 'batch_stats': 0},
                         split_rngs={'params': True, 'dropout': True},
                         in_axes=(0,), length=n_rest,
@@ -449,10 +468,11 @@ class EfficientNetV2(nn.Module):
                     h, _ = scanned(h, sp)
                     idx += n_rest
                 elif n_rest == 1:
-                    h = cls(args=blocks[idx], ghost_splits=self.ghost_splits,
-                            dtype=self.dtype, name=f'blocks_{idx}',
-                            **fuse_kw(blocks[idx]))(
-                        h, survival[idx], train=train)
+                    h = block_for(blocks[idx])(
+                        args=blocks[idx], ghost_splits=self.ghost_splits,
+                        dtype=self.dtype, name=f'blocks_{idx}',
+                        **fuse_kw(blocks[idx]))(
+                        h, survival[idx], train)
                     idx += 1
 
         # Head: 1x1 conv to feature_size (`effnetv2_model.py:469-532`).

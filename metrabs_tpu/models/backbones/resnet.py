@@ -85,6 +85,18 @@ class DenseSameConv(nn.Module):
             param_dtype=jnp.float32, name='conv')(x)
 
 
+def _norm_factory(use_group_norm: bool, dtype, ghost_splits: int):
+    """BatchNorm (ghost-capable) or GroupNorm per the reference's
+    `use_group_norm` switch (`resnet.py:260-268`; the published
+    resnet50v1_5_groupnorm weights). With GN, convs drop their bias
+    (`resnet.py:270` use_bias = not use_group_norm)."""
+    if use_group_norm:
+        return lambda name: common.GroupNormCompat(
+            epsilon=BN_EPSILON, dtype=dtype, name=name)
+    return lambda name: common.batch_norm(
+        BN_MOMENTUM, BN_EPSILON, dtype, name, ghost_splits)
+
+
 class BottleneckBlock(nn.Module):
     """V1/V1.5 bottleneck (`resnet.py:239-319`)."""
 
@@ -96,39 +108,41 @@ class BottleneckBlock(nn.Module):
     v1_5: bool = False
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
+    use_group_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        bn = lambda name: common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+        bn = _norm_factory(self.use_group_norm, self.dtype, self.ghost_splits)
+        bias = not self.use_group_norm
         if self.conv_shortcut:
             shortcut = DenseSameConv(
-                4 * self.filters, 1, stride=self.stride,
+                4 * self.filters, 1, stride=self.stride, use_bias=bias,
                 bottomright=self.bottomright, dtype=self.dtype, name='conv0')(x)
             shortcut = bn('bn0')(shortcut, train)
         else:
             shortcut = x
 
         if self.v1_5:
-            h = nn.Conv(self.filters, (1, 1), use_bias=True, dtype=self.dtype,
+            h = nn.Conv(self.filters, (1, 1), use_bias=bias, dtype=self.dtype,
                         param_dtype=jnp.float32, name='conv1')(x)
         else:
             h = DenseSameConv(
                 self.filters, 1, stride=self.stride, bottomright=self.bottomright,
-                dtype=self.dtype, name='conv1')(x)
+                use_bias=bias, dtype=self.dtype, name='conv1')(x)
         h = nn.relu(bn('bn1')(h, train))
 
         if self.v1_5:
             h = DenseSameConv(
                 self.filters, 3, stride=self.stride, dilation=self.dilation,
-                bottomright=self.bottomright, dtype=self.dtype, name='conv2')(h)
+                bottomright=self.bottomright, use_bias=bias, dtype=self.dtype,
+                name='conv2')(h)
         else:
             h = DenseSameConv(
                 self.filters, 3, stride=1, dilation=self.dilation,
-                dtype=self.dtype, name='conv2')(h)
+                use_bias=bias, dtype=self.dtype, name='conv2')(h)
         h = nn.relu(bn('bn2')(h, train))
 
-        h = nn.Conv(4 * self.filters, (1, 1), use_bias=True, dtype=self.dtype,
+        h = nn.Conv(4 * self.filters, (1, 1), use_bias=bias, dtype=self.dtype,
                     param_dtype=jnp.float32, name='conv3')(h)
         h = bn('bn3')(h, train)
         return nn.relu(shortcut + h)
@@ -230,6 +244,13 @@ class ResNet(nn.Module):
     centered_stride: bool = True
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
+    # GroupNorm instead of BatchNorm (the reference's resnet50v1_5_groupnorm
+    # released variant); convs then drop their bias.
+    use_group_norm: bool = False
+    # Rematerialize each residual block in the backward pass
+    # (jax.checkpoint): ~1/3 extra FLOPs for O(1)-per-block activation
+    # memory. Identical parameter tree.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -242,8 +263,14 @@ class ResNet(nn.Module):
         strides, dil_in, dil_out, brs = get_strides_and_dilations(
             output_stride, self.centered_stride)
 
-        bn = lambda name: common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+        bn = _norm_factory(self.use_group_norm, self.dtype, self.ghost_splits)
+        if self.remat:
+            # train (positional argnum 2; self=0) drives Python control flow
+            # in the blocks, so it must be static under jax.checkpoint.
+            maybe_remat = lambda cls: nn.remat(
+                cls, static_argnums=(2,), prevent_cse=False)
+        else:
+            maybe_remat = lambda cls: cls
         x = x.astype(self.dtype)
         if v2:
             x = common.tf_preproc(x)
@@ -255,7 +282,8 @@ class ResNet(nn.Module):
         # Stem: pad (3,3) + 7x7 s2 VALID + (pad (1,1) + maxpool 3 s2).
         h = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding='VALID',
-                    use_bias=not basic, dtype=self.dtype,
+                    use_bias=not basic and not self.use_group_norm,
+                    dtype=self.dtype,
                     param_dtype=jnp.float32, name='stem_conv')(h)
         if not v2:
             h = nn.relu(bn('stem_bn')(h, train))
@@ -280,11 +308,11 @@ class ResNet(nn.Module):
                         dil = dil_out[si - 1]
                         br = brs[si - 1] if first else False
                         conv_short = first
-                    h = BasicBlock(
+                    h = maybe_remat(BasicBlock)(
                         filters=filters, stride=stride, dilation=dil,
                         bottomright=br, conv_shortcut=conv_short,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
-                        name=f'stage{si}_block{b}')(h, train=train)
+                        name=f'stage{si}_block{b}')(h, train)
         elif v2:
             for si, (filters, blocks) in enumerate(zip(stage_filters, counts)):
                 for b in range(blocks):
@@ -296,11 +324,11 @@ class ResNet(nn.Module):
                         br = brs[si] if last else False
                     else:
                         stride, dil, br = 1, dil_out[-1], False
-                    h = PreactBlock(
+                    h = maybe_remat(PreactBlock)(
                         filters=filters, stride=stride, dilation=dil,
                         bottomright=br, conv_shortcut=first,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
-                        name=f'stage{si}_block{b}')(h, train=train)
+                        name=f'stage{si}_block{b}')(h, train)
             h = nn.relu(bn('post_bn')(h, train))
         else:
             for si, (filters, blocks) in enumerate(zip(stage_filters, counts)):
@@ -314,9 +342,10 @@ class ResNet(nn.Module):
                         dil = (dil_in[si - 1] if v1_5 else dil_out[si - 1]) \
                             if first else dil_out[si - 1]
                         br = brs[si - 1] if first else False
-                    h = BottleneckBlock(
+                    h = maybe_remat(BottleneckBlock)(
                         filters=filters, stride=stride, dilation=dil,
                         bottomright=br, conv_shortcut=first, v1_5=v1_5,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
-                        name=f'stage{si}_block{b}')(h, train=train)
+                        use_group_norm=self.use_group_norm,
+                        name=f'stage{si}_block{b}')(h, train)
         return h

@@ -487,9 +487,15 @@ class PoseEstimator:
         per (max_detections, num_aug, ...) static config: fixed-camera
         serving compiles once; feeds with VARYING frame sizes compile one
         program per size and will thrash the in-process cache — resize or
-        letterbox to a canonical resolution upstream for such sources (the
-        persistent compilation cache makes recurring sizes cheap across
-        process restarts)."""
+        letterbox to a canonical resolution upstream for such sources
+        (apps/demo_video.py --letterbox does this; the persistent
+        compilation cache makes recurring sizes cheap across restarts).
+
+        Tuning (measured on v5e, scripts/bench_fused_sweep.py): the default
+        internal_batch_size=64 keeps chunk-skip granularity for sparse
+        scenes; dense-heavy serving gains ~9% from 256 (fewer chunk conds).
+        cfg.warp_precision='bf16' adds ~40% dense fps at ~u8-quantization
+        pixel error — validate pose deltas on trained weights first."""
         if self.detector is None:
             raise ValueError('No detector attached to this estimator.')
         flip_vertical = (detector_flip_aug

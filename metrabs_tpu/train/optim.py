@@ -75,8 +75,11 @@ def lr_schedule_finetune_low(tcfg: TrainConfig) -> Callable:
 def _adam(tcfg: TrainConfig, schedule: Callable) -> optax.GradientTransformation:
     weight_decay = (tcfg.weight_decay / np.sqrt(tcfg.training_steps)
                     / tcfg.base_learning_rate)
+    mu_dtype = (jnp.dtype(tcfg.optimizer_mu_dtype)
+                if getattr(tcfg, 'optimizer_mu_dtype', '') else None)
     return optax.adamw(
-        learning_rate=schedule, eps=1e-8, weight_decay=weight_decay)
+        learning_rate=schedule, eps=1e-8, weight_decay=weight_decay,
+        mu_dtype=mu_dtype)
 
 
 def build_optimizer(

@@ -25,6 +25,8 @@ def main():
     parser.add_argument('--max-detections', type=int, default=16)
     parser.add_argument('--warp-backend', default='auto')
     parser.add_argument('--warp-precision', default='highest')
+    parser.add_argument('--det-dtype', default='float32',
+                        choices=['float32', 'bfloat16'])
     parser.add_argument('--iters', type=int, default=10)
     args = parser.parse_args()
 
@@ -59,7 +61,7 @@ def main():
     def crop_fn(c, k, v):
         return model.apply(params, c, k, train=False, sample_valid=v)
 
-    det_model = YOLOv4(num_classes=80, dtype=jnp.float32)
+    det_model = YOLOv4(num_classes=80, dtype=jnp.dtype(args.det_dtype))
     det_vars = jax.jit(lambda: det_model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, 416, 416, 3), jnp.float32),
         train=False))()
@@ -85,7 +87,8 @@ def main():
     t = min(times)
     print(f'fused detect_poses_batched ({args.frames}x1080p, '
           f'{args.backbone}@{args.res}, {args.num_aug} TTA, '
-          f'warp={args.warp_backend}/{args.warp_precision}): '
+          f'warp={args.warp_backend}/{args.warp_precision}, '
+          f'det={args.det_dtype}): '
           f'{t * 1000:.1f} ms/batch = {args.frames / t:.2f} frames/s')
 
 

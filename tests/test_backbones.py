@@ -139,3 +139,62 @@ class TestTrainTestStrideSwitch:
         from metrabs_tpu.models.backbones.builder import build_backbone
         with pytest.raises(ValueError):
             build_backbone('mobilenetv3-small', stride_test=16)
+
+
+def test_resnet50_groupnorm_variant():
+    # The reference ships resnet50v1_5_groupnorm weights: GroupNorm replaces
+    # BatchNorm (no batch_stats, 'gn' params) and convs drop their bias
+    # (`metrabs_tf/backbones/resnet.py:260-270`).
+    y, variables = _init_and_run('resnet50v1-5-groupnorm', size=64)
+    assert y.shape == (2, 2, 2, 2048)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert 'batch_stats' not in variables
+    flat = jax.tree_util.tree_leaves_with_path(variables['params'])
+    keys = ['/'.join(str(getattr(k, 'key', k)) for k in path)
+            for path, _ in flat]
+    assert any('gn' in k and 'scale' in k for k in keys)
+    assert not any('bias' in k and 'conv' in k for k in keys)
+    # Same layer topology as the BN variant, norm layers aside.
+    _, v_bn = _init_and_run('resnet50v1-5', size=64)
+    n_convs = sum(1 for k in keys if 'kernel' in k)
+    flat_bn = jax.tree_util.tree_leaves_with_path(v_bn['params'])
+    keys_bn = ['/'.join(str(getattr(k, 'key', k)) for k in path)
+               for path, _ in flat_bn]
+    assert n_convs == sum(1 for k in keys_bn if 'kernel' in k)
+    # V2 (preact) hard-codes BatchNorm in the reference; reject the combo.
+    with pytest.raises(ValueError):
+        build_backbone('resnet50v2-groupnorm')
+
+
+@pytest.mark.parametrize('name', [
+    'efficientnetv2-s', 'resnet18', 'mobilenetv3-small'])
+def test_remat_identical_params_and_outputs(name):
+    """remat=True must be a pure autodiff-memory change: same parameter
+    tree, bit-identical forward, matching gradients (jax.checkpoint
+    semantics)."""
+    x = jnp.asarray(np.random.default_rng(1).uniform(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    bb = build_backbone(name, dtype=jnp.float32)
+    bb_r = build_backbone(name, dtype=jnp.float32, remat=True)
+    v = bb.init(rngs, x, train=False)
+    v_r = bb_r.init(rngs, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_r))
+    y = bb.apply(v, x, train=False)
+    y_r = bb_r.apply(v_r, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_r))
+
+    def loss(variables, module):
+        out, _ = module.apply(variables, x, train=True,
+                              rngs={'dropout': jax.random.PRNGKey(2)},
+                              mutable=['batch_stats'])
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(v, bb)
+    g_r = jax.grad(loss)(v_r, bb_r)
+    chex = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g['params'], g_r['params'])
+    del chex

@@ -187,3 +187,35 @@ class TestYOLOv4Tiny:
         assert isinstance(yolov4.build_detector_model('yolov4'), yolov4.YOLOv4)
         with pytest.raises(ValueError):
             yolov4.build_detector_model('yolov9')
+
+
+def test_bf16_detector_close_to_f32(rng):
+    """The bf16 compute path (serving default for packaged models) must
+    produce decoded predictions close to f32: decode always upcasts to f32
+    (`decode_head`), so the only divergence is net-internal rounding.
+
+    Post-NMS boxes are NOT compared — with random weights all scores are
+    near-identical, so tie-breaking in top_k/NMS reorders candidates under
+    any epsilon perturbation. The stable contract is the pre-NMS decode."""
+    model32 = yolov4.YOLOv4Tiny(num_classes=80, dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model32.init(jax.random.PRNGKey(2), x, train=False)
+    model16 = yolov4.YOLOv4Tiny(num_classes=80, dtype=jnp.bfloat16)
+
+    images = jnp.asarray(
+        rng.integers(0, 255, size=(1, 96, 96, 3)), jnp.float32) / 255.0
+
+    def decoded(model):
+        det = yolov4.PersonDetector(model, variables, input_size=96,
+                                    top_candidates=64)
+        return np.asarray(jax.jit(det._forward)(variables, images))
+
+    p32, p16 = decoded(model32), decoded(model16)
+    assert p16.dtype == np.float32  # decode upcasts regardless of net dtype
+    assert np.all(np.isfinite(p16))
+    # Box centers within ~1px at 96px input, sizes within 5% relative,
+    # objectness/class scores (post-sigmoid) within a small absolute delta.
+    np.testing.assert_allclose(p16[..., :2], p32[..., :2], atol=1.5)
+    np.testing.assert_allclose(p16[..., 2:4], p32[..., 2:4], rtol=0.08,
+                               atol=0.5)
+    np.testing.assert_allclose(p16[..., 4:], p32[..., 4:], atol=0.03)

@@ -99,10 +99,13 @@ def _roundtrip_family(tmp_path, rng, backbone_name, build_kwargs=None):
     flat_out = flax.traverse_util.flatten_dict(imported, sep='/')
     for p, value in targets.items():
         np.testing.assert_array_equal(np.asarray(flat_out[p]), value, err_msg=p)
-    # The imported model must still run.
-    out = bb.apply({'params': imported['params']['backbone'],
-                    'batch_stats': imported['batch_stats']['backbone']},
-                   x, train=False)
+    # The imported model must still run. The groupnorm variant has no
+    # batch_stats collection at all.
+    apply_vars = {'params': imported['params']['backbone']}
+    stats = imported.get('batch_stats', {}).get('backbone', {})
+    if stats:
+        apply_vars['batch_stats'] = stats
+    out = bb.apply(apply_vars, x, train=False)
     assert np.all(np.isfinite(np.asarray(out)))
 
 
@@ -116,6 +119,11 @@ class TestTFFamilyImports:
 
     def test_resnet50v2_roundtrip(self, tmp_path, rng):
         _roundtrip_family(tmp_path, rng, 'resnet50v2')
+
+    def test_resnet50v1_5_groupnorm_roundtrip(self, tmp_path, rng):
+        # The released resnet50v1_5_groupnorm variant: *_gn gamma/beta
+        # layers, biasless convs.
+        _roundtrip_family(tmp_path, rng, 'resnet50v1-5-groupnorm')
 
     def test_mobilenetv3_small_roundtrip(self, tmp_path, rng):
         _roundtrip_family(tmp_path, rng, 'mobilenetv3-small')

@@ -91,6 +91,26 @@ def train_setup():
     return model, tx, state, step_fn
 
 
+def test_bf16_mu_dtype_optimizer_state(rng):
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, optimizer_mu_dtype='bfloat16')
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    tx = optim.build_optimizer(tcfg)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    # Adam's first moment is bf16, second moment stays f32.
+    adam_state = state.opt_state[0] if isinstance(state.opt_state, tuple) \
+        else state.opt_state
+    mus = jax.tree_util.tree_leaves(adam_state.mu)
+    nus = jax.tree_util.tree_leaves(adam_state.nu)
+    assert all(m.dtype == jnp.bfloat16 for m in mus)
+    assert all(n.dtype == jnp.float32 for n in nus)
+    step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg)
+    batch3d, batch2d = make_batches(rng)
+    state1, losses = jax.jit(step_fn)(state, batch3d, batch2d,
+                                      jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses['loss']))
+
+
 def test_train_step_decreases_nothing_nan(train_setup, rng):
     _, _, state, step_fn = train_setup
     batch3d, batch2d = make_batches(rng)
