@@ -51,6 +51,16 @@ def parse_args(argv=None):
     p.add_argument('--finetune-in-inference-mode', type=int, default=0,
                    help='freeze BN to inference mode for the final N steps '
                         '(metrabs_tf/main.py:131-134)')
+    p.add_argument('--no-remat', action='store_true',
+                   help='disable backbone block rematerialization. Remat is '
+                        'ON by default for training: measured ~2x step '
+                        'throughput (766 -> 1496 crops/s, EffNetV2-S@256 '
+                        'batch 32+32 on v5e — the backward pass is '
+                        'HBM-bound, so storing fewer activations wins '
+                        'despite the recompute) and it unblocks batch 128.')
+    p.add_argument('--optimizer-mu-dtype', default='',
+                   help="Adam first-moment dtype, e.g. 'bfloat16' "
+                        '(second moment stays float32)')
     p.add_argument('--distributed', action='store_true',
                    help='multi-host: jax.distributed.initialize() from the '
                         'TPU pod environment; batch sizes are GLOBAL and '
@@ -88,7 +98,8 @@ def main(argv=None):
 
     cfg = ModelConfig(
         proc_side=args.proc_side, depth=args.depth, n_joints=args.n_joints,
-        dtype=args.dtype, backbone=args.backbone)
+        dtype=args.dtype, backbone=args.backbone,
+        backbone_remat=not args.no_remat)
     tcfg = TrainConfig(
         batch_size=args.batch_size, batch_size_2d=args.batch_size_2d,
         training_steps=args.training_steps,
@@ -96,7 +107,8 @@ def main(argv=None):
         grad_accum_steps=args.grad_accum_steps,
         ema_momentum=args.ema_momentum, dual_finetune_lr=args.dual_finetune_lr,
         ghost_bn_splits=(args.ghost_bn_splits,), seed=args.seed,
-        finetune_in_inference_mode=args.finetune_in_inference_mode)
+        finetune_in_inference_mode=args.finetune_in_inference_mode,
+        optimizer_mu_dtype=args.optimizer_mu_dtype)
 
     # Joint sets: 3D = model joints (H36M-17 built-in; packaged sets via
     # skeleton registry), 2D = LSP-14-compatible weak annotations.

@@ -69,27 +69,35 @@ def main():
 
     est = PoseEstimator(crop_fn, H36M_17, cfg, detector=detector)
 
-    def run():
+    def run(threshold):
+        # The threshold is a traced scalar: 0.0 forces every detection slot
+        # valid (dense regime, all 16 x num_aug crops run), 1.0 yields zero
+        # valid slots (sparse regime: detector + fixed overhead floor, which
+        # runtime chunk skipping lets real few-person scenes approach).
+        # Random detector weights score ~0.25 < the 0.3 default, so NOT
+        # pinning the threshold would silently measure the sparse regime.
         return est.detect_poses_batched(
             images, num_aug=args.num_aug,
-            max_detections=args.max_detections)['poses3d']
+            max_detections=args.max_detections,
+            detector_threshold=threshold)['poses3d']
 
     t0 = time.time()
-    jax.block_until_ready(run())
+    jax.block_until_ready(run(0.0))
     print(f'compile+first run: {time.time() - t0:.1f} s')
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = run()
-        np.asarray(out)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
-    print(f'fused detect_poses_batched ({args.frames}x1080p, '
-          f'{args.backbone}@{args.res}, {args.num_aug} TTA, '
-          f'warp={args.warp_backend}/{args.warp_precision}, '
-          f'det={args.det_dtype}): '
-          f'{t * 1000:.1f} ms/batch = {args.frames / t:.2f} frames/s')
+    for name, threshold in [('dense', 0.0), ('sparse', 1.0)]:
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = run(threshold)
+            np.asarray(out)
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        print(f'fused detect_poses_batched [{name}] ({args.frames}x1080p, '
+              f'{args.backbone}@{args.res}, {args.num_aug} TTA, '
+              f'warp={args.warp_backend}/{args.warp_precision}, '
+              f'det={args.det_dtype}): '
+              f'{t * 1000:.1f} ms/batch = {args.frames / t:.2f} frames/s')
 
 
 if __name__ == '__main__':
