@@ -380,6 +380,12 @@ class PersonDetector:
     variables: dict
     input_size: int = 416
     top_candidates: int = 256
+    # Candidate selection via jax.lax.approx_max_k (TPU PartialReduce,
+    # much faster than exact O(n*k) top_k over the ~30k anchors; profile:
+    # the sort bucket was ~8 ms/batch of the fused sparse floor). Recall
+    # 0.99 only drops near-tied low scorers ahead of thresholding + NMS.
+    # False restores exact lax.top_k.
+    approx_top_k: bool = True
 
     def __post_init__(self):
         self._jitted = {}
@@ -440,7 +446,11 @@ class PersonDetector:
 
         # Per-image: top candidates by score, then NMS, then top max_detections.
         k = min(self.top_candidates, scores.shape[1])
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+        if self.approx_top_k and scores.shape[1] > k:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                scores, k, recall_target=0.99)
+        else:
+            top_scores, top_idx = jax.lax.top_k(scores, k)
         top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
 
         def per_image(b, s):

@@ -173,6 +173,28 @@ def _avg_pool_2x2_chmaj(x: jnp.ndarray) -> jnp.ndarray:
     return x.mean(axis=(3, 5))
 
 
+def pyramid_canvas_layout(image_shape, n_levels: int = 3):
+    """Static geometry of the pyramid canvas for [n, h, w, c] sources:
+    returns (level_rows, level_dims, canvas_shape). Pure shape arithmetic —
+    lets callers allocate/skip the canvas under `lax.cond` (the build is
+    ~13 ms device time for 8x1080p and is wasted when no detection is
+    valid) while keeping the trace-time statics available."""
+    n, h, w, c = image_shape
+    wp_canvas = -(-max(w + 2, WIN_C) // 128) * 128
+    level_rows, level_dims = [], []
+    offset = 0
+    lh, lw = h, w
+    for level in range(n_levels):
+        if level > 0:
+            lh, lw = lh // 2, lw // 2
+        hp, wp = lh + 2, lw + 2
+        level_rows.append(offset)
+        level_dims.append((hp, wp))
+        offset += -(-hp // 8) * 8
+    canvas_shape = (n, c, (offset + WIN_R) * N_SHIFTS, wp_canvas)
+    return np.asarray(level_rows), level_dims, canvas_shape
+
+
 def build_pyramid_canvas(images: jnp.ndarray, n_levels: int = 3,
                          gamma_decode: bool = False):
     """Channel-major canvas [n, 3, H_tot, Wp] stacking padded pyramid levels
@@ -222,6 +244,11 @@ def build_pyramid_canvas(images: jnp.ndarray, n_levels: int = 3,
                 ((0, 0), (0, 0), (0, 0), (0, SHIFT * s)))
         for s in range(1, N_SHIFTS)]
     canvas = jnp.concatenate(copies, axis=2)
+    # Keep the static-layout helper honest (callers allocate by it).
+    rows_l, dims_l, shape_l = pyramid_canvas_layout(images.shape, n_levels)
+    assert (canvas.shape == shape_l and dims_l == level_dims
+            and list(rows_l) == level_rows), (
+        canvas.shape, shape_l, level_dims, dims_l, level_rows, rows_l)
     return canvas, np.asarray(level_rows), level_dims
 
 

@@ -184,8 +184,20 @@ def estimate_poses_batched_fn(
                        and out_side % warp_pallas.TR == 0
                        and out_side % warp_pallas.TC == 0 else 'gather')
         if backend.startswith('tiled'):
-            pyramid_canvas = warp_pallas.build_pyramid_canvas(
-                images, gamma_decode=True)
+            # The build (~13 ms device for 8x1080p: u8 relayout + gamma
+            # decode + pools) runs under lax.cond so a batch with ZERO valid
+            # detections skips it entirely — together with the per-chunk
+            # cond below this makes the no-person cost just detector +
+            # zero-fill (profile: scripts/profile_trace_fused.py).
+            level_rows, level_dims, canvas_shape = \
+                warp_pallas.pyramid_canvas_layout(images.shape)
+            canvas = jax.lax.cond(
+                jnp.any(valid_flat),
+                lambda im: warp_pallas.build_pyramid_canvas(
+                    im, gamma_decode=True)[0],
+                lambda im: jnp.zeros(canvas_shape, jnp.float32),
+                images)
+            pyramid_canvas = (canvas, level_rows, level_dims)
             images_lin = None
         else:
             pyramid_canvas = None

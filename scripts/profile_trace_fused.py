@@ -83,14 +83,33 @@ def main():
                and e.get('name') == 'thread_name' and 'args' in e
                and 'XLA Ops' in e['args'].get('name', '')}
 
-    totals = collections.Counter()
-    by_name = collections.Counter()
-    total = 0.0
+    # Exclusive durations: XLA emits NESTED spans (a while contains its
+    # cond contains its branch computation) on the same thread; summing raw
+    # durations double-counts parents. Per thread, sort by start time and
+    # subtract each child's duration from its innermost enclosing span.
+    per_tid = collections.defaultdict(list)
     for e in events:
         if (e.get('ph') == 'X' and e.get('pid') in device_pids
                 and (e['pid'], e.get('tid')) in op_tids):
-            name = e.get('name', '')
-            dur = e.get('dur', 0) / 1e3
+            per_tid[(e['pid'], e['tid'])].append(e)
+    exclusive = []
+    for tid_events in per_tid.values():
+        tid_events.sort(key=lambda e: (e['ts'], -e.get('dur', 0)))
+        stack = []  # (end_ts, index into exclusive)
+        for e in tid_events:
+            ts, dur = e['ts'], e.get('dur', 0)
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                exclusive[stack[-1][1]][1] -= dur  # child time out of parent
+            exclusive.append([e.get('name', ''), dur])
+            stack.append((ts + dur, len(exclusive) - 1))
+
+    totals = collections.Counter()
+    by_name = collections.Counter()
+    total = 0.0
+    for name, dur_us in exclusive:
+            dur = max(dur_us, 0) / 1e3
             n = name.lower()
             if 'custom-call' in n or 'pallas' in n or 'warp' in n:
                 cat = 'pallas warp kernel'

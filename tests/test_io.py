@@ -103,3 +103,59 @@ def test_boxes_from_joints_handles_nan(rng):
     pts[3] = np.nan
     box = boxes_from_joints(pts)
     assert np.all(np.isfinite(box)) and box[2] > 0
+
+
+def test_package_save_load_run_roundtrip(tmp_path, rng):
+    """Full packager round-trip (`save_model.py` equivalent): save crop
+    model + detector + skeletons, reload via load_pose_estimator, and run
+    both public APIs. Covers manifest fields incl. detector_dtype (loads
+    bf16 by default) and detector_type='yolov4-tiny'."""
+    from metrabs_tpu.config import AugConfig, ModelConfig
+    from metrabs_tpu.detect.yolov4 import YOLOv4Tiny
+    from metrabs_tpu.io.packaging import (
+        load_pose_estimator, save_pose_estimator_package)
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32',
+                      backbone='tiny', warp_backend='gather')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=8, dtype=jnp.float32))
+    crop_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.eye(3)[None])
+    det_model = YOLOv4Tiny(num_classes=80, dtype=jnp.float32)
+    det_vars = det_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 96, 96, 3), jnp.float32),
+                              train=False)
+    joint_info = JointInfo(names=tuple(H36M_17.names),
+                           edges=tuple(H36M_17.edges))
+    d = str(tmp_path / 'pkg')
+    save_pose_estimator_package(
+        d, cfg=cfg, aug_cfg=AugConfig(), crop_model_variables=crop_vars,
+        joint_info=joint_info, detector_variables=det_vars,
+        detector_type='yolov4-tiny')
+
+    def tiny_builder(name, **kwargs):
+        assert name == 'tiny'
+        return TinyBackbone(width=8, dtype=jnp.float32)
+
+    est = load_pose_estimator(d, backbone_builder=tiny_builder)
+    # detector_dtype default bf16 must reach the rebuilt model.
+    assert est.detector.model.dtype == jnp.bfloat16
+    assert type(est.detector.model).__name__ == 'YOLOv4Tiny'
+    est.detector = dataclasses_replace_input_size(est.detector, 96)
+
+    img = rng.integers(0, 255, size=(80, 100, 3), dtype=np.uint8)
+    boxes = np.array([[10, 10, 60, 60]], np.float32)
+    out = est.estimate_poses(img, boxes, num_aug=1)
+    assert np.asarray(out['poses3d']).shape == (1, 17, 3)
+    assert np.all(np.isfinite(np.asarray(out['poses3d'])))
+    out2 = est.detect_poses(img, num_aug=1, max_detections=2,
+                            detector_threshold=0.0)
+    assert np.asarray(out2['poses3d']).shape[1:] == (17, 3)
+
+
+def dataclasses_replace_input_size(det, size):
+    import dataclasses as _dc
+    return _dc.replace(det, input_size=size)
