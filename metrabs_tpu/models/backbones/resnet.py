@@ -149,7 +149,9 @@ class BottleneckBlock(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """ResNet-18/34 basic block (`resnet.py:322-390`)."""
+    """ResNet-18/34 basic block (`resnet.py:322-390`); GroupNorm per the
+    reference's use_group_norm switch (`resnet.py:674-693`
+    stack1_basic_dense)."""
 
     filters: int
     stride: int = 1
@@ -158,11 +160,11 @@ class BasicBlock(nn.Module):
     conv_shortcut: bool = True
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
+    use_group_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        bn = lambda name: common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+        bn = _norm_factory(self.use_group_norm, self.dtype, self.ghost_splits)
         if self.conv_shortcut:
             shortcut = DenseSameConv(
                 self.filters, 1, stride=self.stride, bottomright=self.bottomright,
@@ -312,6 +314,7 @@ class ResNet(nn.Module):
                         filters=filters, stride=stride, dilation=dil,
                         bottomright=br, conv_shortcut=conv_short,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
+                        use_group_norm=self.use_group_norm,
                         name=f'stage{si}_block{b}')(h, train)
         elif v2:
             for si, (filters, blocks) in enumerate(zip(stage_filters, counts)):

@@ -205,32 +205,26 @@ def build_pyramid_canvas(images: jnp.ndarray, n_levels: int = 3,
     `gamma_decode` folds the linearization in — 4x cheaper than transposing
     decoded f32); all pooling/padding then runs in the TPU-friendly layout.
     """
-    n, h, w, c = images.shape
+    level_rows, level_dims, canvas_shape = pyramid_canvas_layout(
+        images.shape, n_levels)
+    wp_canvas = canvas_shape[3]
     chmaj = images.transpose(0, 3, 1, 2)  # the one expensive relayout
     if gamma_decode:
         chmaj = (chmaj.astype(jnp.float32) / 255.0) ** 2.2
     else:
         chmaj = chmaj.astype(jnp.float32)
-    # Lane-dim (cols) must allow 128-aligned WIN_C slices anywhere.
-    wp_canvas = -(-max(w + 2, WIN_C) // 128) * 128
-    level_rows = []
-    level_dims = []
-    offset = 0
     padded_levels = []
     cur = chmaj
-    for level in range(n_levels):
+    for level, (hp, wp) in enumerate(level_dims):
         if level > 0:
             cur = _avg_pool_2x2_chmaj(cur)
-        hp, wp = cur.shape[2] + 2, cur.shape[3] + 2
-        level_rows.append(offset)
-        level_dims.append((hp, wp))
+        assert (hp, wp) == (cur.shape[2] + 2, cur.shape[3] + 2)
         # Level blocks stay 8-row-aligned so 8-aligned level-local window
         # rows remain 8-aligned canvas rows; 1px zero ring per level.
         block_h = -(-hp // 8) * 8
         lv = jnp.pad(cur, ((0, 0), (0, 0), (1, block_h - cur.shape[2] - 1),
                            (1, wp_canvas - cur.shape[3] - 1)))
         padded_levels.append(lv)
-        offset += block_h
     canvas = jnp.concatenate(padded_levels, axis=2)
     # WIN_R rows of tail padding guarantee every window placement
     # (oy_local <= hp_l - 2 for any level) stays inside the canvas.
@@ -244,12 +238,8 @@ def build_pyramid_canvas(images: jnp.ndarray, n_levels: int = 3,
                 ((0, 0), (0, 0), (0, 0), (0, SHIFT * s)))
         for s in range(1, N_SHIFTS)]
     canvas = jnp.concatenate(copies, axis=2)
-    # Keep the static-layout helper honest (callers allocate by it).
-    rows_l, dims_l, shape_l = pyramid_canvas_layout(images.shape, n_levels)
-    assert (canvas.shape == shape_l and dims_l == level_dims
-            and list(rows_l) == level_rows), (
-        canvas.shape, shape_l, level_dims, dims_l, level_rows, rows_l)
-    return canvas, np.asarray(level_rows), level_dims
+    assert canvas.shape == canvas_shape, (canvas.shape, canvas_shape)
+    return canvas, level_rows, level_dims
 
 
 def warp_images_with_pyramid_tiled(

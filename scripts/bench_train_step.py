@@ -32,7 +32,14 @@ def main():
                              'recompute; enables larger batches)')
     parser.add_argument('--mu-dtype', default='',
                         help="optimizer_mu_dtype, e.g. 'bfloat16'")
+    parser.add_argument('--grad-accum', type=int, default=1,
+                        help='grad_accum_steps (optax.MultiSteps); compare '
+                             'k steps at batch n against 1 step at k*n to '
+                             'see the accumulation overhead')
     args = parser.parse_args()
+    if args.iters < 2:
+        parser.error('--iters must be >= 2 (throughput is the t_N - t_1 '
+                     'difference)')
 
     from metrabs_tpu.config import ModelConfig, TrainConfig
     from metrabs_tpu.models.backbones.builder import build_backbone
@@ -45,7 +52,8 @@ def main():
     cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',
                       backbone=args.backbone, backbone_remat=args.remat)
     tcfg = TrainConfig(training_steps=400000,
-                       optimizer_mu_dtype=args.mu_dtype)
+                       optimizer_mu_dtype=args.mu_dtype,
+                       grad_accum_steps=args.grad_accum)
     model = Metrabs(cfg=cfg, backbone=build_backbone(args.backbone,
                                                      remat=args.remat))
     tx = optim.build_optimizer(tcfg)
@@ -73,23 +81,26 @@ def main():
             joint_validity_mask=jnp.ones((n, 14), bool))
 
         def make(k):
+            # Batches are jit ARGUMENTS: closed-over device arrays lower as
+            # HLO constants (~200 MB at batch 128) and blow up the remote
+            # compile request (CLAUDE.md rule 1).
             @jax.jit
-            def run(state):
+            def run(state, b3, b2):
                 def body(carry, i):
                     st = carry
                     new_st, losses = step_fn(
-                        st, batch3d, batch2d, jax.random.PRNGKey(0))
+                        st, b3, b2, jax.random.PRNGKey(0))
                     return new_st, losses['loss']
                 st, losses = jax.lax.scan(body, state, jnp.arange(k))
                 return losses
             return run
         run_n, run_1 = make(args.iters), make(1)
-        np.asarray(run_1(state))
-        np.asarray(run_n(state))
+        np.asarray(run_1(state, batch3d, batch2d))
+        np.asarray(run_n(state, batch3d, batch2d))
 
         def t(fn):
             t0 = time.perf_counter()
-            np.asarray(fn(state))
+            np.asarray(fn(state, batch3d, batch2d))
             return time.perf_counter() - t0
         t1 = min(t(run_1) for _ in range(3))
         tn = min(t(run_n) for _ in range(3))

@@ -141,6 +141,14 @@ class TestTrainTestStrideSwitch:
             build_backbone('mobilenetv3-small', stride_test=16)
 
 
+def test_resnet18_groupnorm_no_batch_stats():
+    # Basic blocks honor use_group_norm too (`metrabs_tf/backbones/
+    # resnet.py:674-693` stack1_basic_dense): no BatchNorm anywhere.
+    y, variables = _init_and_run('resnet18-groupnorm', size=64)
+    assert y.shape == (2, 2, 2, 512)
+    assert 'batch_stats' not in variables
+
+
 def test_resnet50_groupnorm_variant():
     # The reference ships resnet50v1_5_groupnorm weights: GroupNorm replaces
     # BatchNorm (no batch_stats, 'gn' params) and convs drop their bias

@@ -120,6 +120,11 @@ class TestTFFamilyImports:
     def test_resnet50v2_roundtrip(self, tmp_path, rng):
         _roundtrip_family(tmp_path, rng, 'resnet50v2')
 
+    def test_resnet18_groupnorm_roundtrip(self, tmp_path, rng):
+        # Basic blocks honor GroupNorm too (stack1_basic_dense,
+        # `metrabs_tf/backbones/resnet.py:674-693`).
+        _roundtrip_family(tmp_path, rng, 'resnet18-groupnorm')
+
     def test_resnet50v1_5_groupnorm_roundtrip(self, tmp_path, rng):
         # The released resnet50v1_5_groupnorm variant: *_gn gamma/beta
         # layers, biasless convs.
