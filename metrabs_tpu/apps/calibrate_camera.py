@@ -22,8 +22,16 @@ def find_corners(gray, rows, cols):
     found, corners = cv2.findChessboardCorners(gray, (cols, rows))
     if not found:
         return None
+    # Scale the refinement window to the detected square size: a fixed
+    # 11x11 window spans NEIGHBORING edges when the board is small/far
+    # (squares < ~25 px) and corrupts corners by multiple pixels.
+    pts = corners.reshape(rows, cols, 2)
+    spacing = min(
+        float(np.median(np.linalg.norm(np.diff(pts, axis=1), axis=-1))),
+        float(np.median(np.linalg.norm(np.diff(pts, axis=0), axis=-1))))
+    half = int(np.clip(spacing * 0.4, 2, 11))
     criteria = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-3)
-    return cv2.cornerSubPix(gray, corners, (11, 11), (-1, -1), criteria)
+    return cv2.cornerSubPix(gray, corners, (half, half), (-1, -1), criteria)
 
 
 def main(argv=None):
