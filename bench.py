@@ -81,7 +81,34 @@ def bench_fused_pipeline():
             times.append(time.perf_counter() - t0)
         return frames / min(times)
 
-    return timeit(0.0), timeit(1.0)
+    dense_fps, sparse_fps = timeit(0.0), timeit(1.0)
+
+    # Optional streamed-serving regime (BENCH_STREAM=K): one device
+    # dispatch runs K frame-batches via detect_poses_stream, amortizing the
+    # per-call dispatch overhead. Opt-in because it compiles an extra large
+    # program (~tens of minutes cold over the tunnel).
+    stream_k = int(os.environ.get('BENCH_STREAM', '0'))
+    stream = None
+    if stream_k:
+        images_k = jnp.broadcast_to(images[None], (stream_k,) + images.shape)
+
+        def run_stream(threshold):
+            return est.detect_poses_stream(
+                images_k, num_aug=2, max_detections=16,
+                detector_threshold=threshold)['poses3d']
+
+        def timeit_stream(threshold):
+            jax.block_until_ready(run_stream(threshold))
+            times = []
+            for _ in range(8):
+                t0 = time.perf_counter()
+                np.asarray(run_stream(threshold))
+                times.append(time.perf_counter() - t0)
+            return frames * stream_k / min(times)
+
+        stream = (timeit_stream(0.0), timeit_stream(1.0))
+
+    return dense_fps, sparse_fps, stream
 
 
 def main():
@@ -165,10 +192,13 @@ def main():
         'vs_baseline': round(crops_per_sec / ROUND1_CROPS_PER_SEC, 4),
     }
     if fused is not None:
-        dense_fps, sparse_fps = fused
+        dense_fps, sparse_fps, stream = fused
         record['fused_detect_fps'] = round(dense_fps, 2)
         record['fused_detect_vs_r01'] = round(dense_fps / ROUND1_FUSED_FPS, 4)
         record['fused_detect_fps_sparse'] = round(sparse_fps, 2)
+        if stream is not None:
+            record['stream_detect_fps'] = round(stream[0], 2)
+            record['stream_detect_fps_sparse'] = round(stream[1], 2)
     print(json.dumps(record))
 
 

@@ -547,26 +547,94 @@ class PoseEstimator:
                   jnp.asarray(extrinsic_matrix), jnp.asarray(world_up_vector),
                   jnp.float32(default_fov_degrees))
 
-    def _get_fused_jitted(self, *, max_detections, detector_flip_aug,
-                          flip_vertical, orig_h, orig_w, **static_kwargs):
-        key = ('fused', max_detections, detector_flip_aug, flip_vertical,
-               orig_h, orig_w) + tuple(sorted(static_kwargs.items()))
+    def detect_poses_stream(
+            self, images, intrinsic_matrix=None, distortion_coeffs=None,
+            extrinsic_matrix=None, world_up_vector=(0, -1, 0),
+            default_fov_degrees=55.0, internal_batch_size=64,
+            antialias_factor=1, num_aug=5, average_aug=True, skeleton='',
+            detector_threshold=0.3, detector_nms_iou_threshold=0.7,
+            max_detections=16, detector_flip_aug=False,
+            suppress_implausible_poses=True):
+        """detect_poses_batched over a STREAM of K frame-batches in ONE
+        device dispatch: `images` is [K, B, H, W, 3] uint8 and the K
+        batches run as a sequential on-device `lax.scan`-style loop
+        (lax.map), so per-call host dispatch/transfer overhead is paid
+        once per K batches instead of per batch. Camera arguments are per
+        frame-slot [B, ...], shared across the K batches (the
+        fixed-camera serving case). Outputs carry a leading K axis.
+
+        Semantics are identical to calling detect_poses_batched K times
+        (tested); use this for throughput-oriented offline/video
+        processing, the per-batch API for latency-oriented serving."""
+        if self.detector is None:
+            raise ValueError('No detector attached to this estimator.')
+        flip_vertical = (detector_flip_aug
+                         and self._aug_cfg.detector_flip_vertical_too)
+        images = jnp.asarray(images)
+        if images.ndim != 5:
+            raise ValueError(f'images must be [K, B, H, W, 3], '
+                             f'got shape {images.shape}')
+        n_images = images.shape[1]
+        (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+         world_up_vector) = self._prepare_camera_args(
+            n_images, intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+            world_up_vector)
+        fn = self._get_fused_stream_jitted(
+            num_aug=int(num_aug), average_aug=bool(average_aug),
+            antialias_factor=int(antialias_factor),
+            internal_batch_size=int(internal_batch_size),
+            skeleton_indices=tuple(int(i) for i in self.skeletons.indices(skeleton)),
+            suppress_implausible_poses=bool(suppress_implausible_poses),
+            max_detections=int(max_detections),
+            detector_flip_aug=bool(detector_flip_aug),
+            flip_vertical=bool(flip_vertical),
+            orig_h=int(images.shape[2]), orig_w=int(images.shape[3]))
+        return fn(self.detector.variables, self.crop_model_state, images,
+                  jnp.float32(detector_threshold),
+                  jnp.float32(detector_nms_iou_threshold),
+                  jnp.asarray(intrinsic_matrix), jnp.asarray(distortion_coeffs),
+                  jnp.asarray(extrinsic_matrix), jnp.asarray(world_up_vector),
+                  jnp.float32(default_fov_degrees))
+
+    def _make_fused_fn(self, *, max_detections, detector_flip_aug,
+                       flip_vertical, orig_h, orig_w, **static_kwargs):
+        detector = self.detector
+
+        def fused(det_vars, crop_state, images, det_threshold, det_nms_iou,
+                  intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+                  world_up_vector, default_fov_degrees):
+            boxes5, box_valid = detector._detect_core(
+                det_vars, images, det_threshold, det_nms_iou,
+                max_detections=max_detections, flip_aug=detector_flip_aug,
+                flip_vertical=flip_vertical, orig_h=orig_h, orig_w=orig_w)
+            return self._core(
+                crop_state, images, boxes5, box_valid, intrinsic_matrix,
+                distortion_coeffs, extrinsic_matrix, world_up_vector,
+                default_fov_degrees, **static_kwargs)
+
+        return fused
+
+    def _get_fused_jitted(self, **kw):
+        key = ('fused',) + tuple(sorted(kw.items()))
         if key not in self._jitted:
-            detector = self.detector
+            self._jitted[key] = jax.jit(self._make_fused_fn(**kw))
+        return self._jitted[key]
 
-            def fused(det_vars, crop_state, images, det_threshold, det_nms_iou,
-                      intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
-                      world_up_vector, default_fov_degrees):
-                boxes5, box_valid = detector._detect_core(
-                    det_vars, images, det_threshold, det_nms_iou,
-                    max_detections=max_detections, flip_aug=detector_flip_aug,
-                    flip_vertical=flip_vertical, orig_h=orig_h, orig_w=orig_w)
-                return self._core(
-                    crop_state, images, boxes5, box_valid, intrinsic_matrix,
-                    distortion_coeffs, extrinsic_matrix, world_up_vector,
-                    default_fov_degrees, **static_kwargs)
+    def _get_fused_stream_jitted(self, **kw):
+        key = ('fused-stream',) + tuple(sorted(kw.items()))
+        if key not in self._jitted:
+            fused = self._make_fused_fn(**kw)
 
-            self._jitted[key] = jax.jit(fused)
+            def stream(det_vars, crop_state, images_k, *rest):
+                # Sequential on-device loop over the leading K axis: one
+                # host dispatch runs K frame-batches, amortizing per-call
+                # dispatch/transfer overhead (measured ~30-40 ms/call on
+                # the tunneled dev chip, ~ms on attached hosts).
+                return jax.lax.map(
+                    lambda im: fused(det_vars, crop_state, im, *rest),
+                    images_k)
+
+            self._jitted[key] = jax.jit(stream)
         return self._jitted[key]
 
     def _run(self, images, boxes5, box_valid, intrinsic_matrix,

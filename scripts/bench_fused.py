@@ -27,6 +27,9 @@ def main():
     parser.add_argument('--warp-precision', default='highest')
     parser.add_argument('--det-dtype', default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--stream', type=int, default=0,
+                        help='also bench detect_poses_stream with K batches '
+                             'per dispatch (0 = skip)')
     parser.add_argument('--iters', type=int, default=10)
     args = parser.parse_args()
 
@@ -97,7 +100,29 @@ def main():
               f'{args.backbone}@{args.res}, {args.num_aug} TTA, '
               f'warp={args.warp_backend}/{args.warp_precision}, '
               f'det={args.det_dtype}): '
-              f'{t * 1000:.1f} ms/batch = {args.frames / t:.2f} frames/s')
+              f'{t * 1000:.1f} ms/batch = {args.frames / t:.2f} frames/s',
+              flush=True)
+
+    if args.stream:
+        k = args.stream
+        images_k = jnp.broadcast_to(images[None], (k,) + images.shape)
+
+        def run_stream(threshold):
+            return est.detect_poses_stream(
+                images_k, num_aug=args.num_aug,
+                max_detections=args.max_detections,
+                detector_threshold=threshold)['poses3d']
+
+        jax.block_until_ready(run_stream(0.0))
+        for name, threshold in [('dense', 0.0), ('sparse', 1.0)]:
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                np.asarray(run_stream(threshold))
+                times.append(time.perf_counter() - t0)
+            t = min(times) / k
+            print(f'streamed x{k} [{name}]: {t * 1000:.1f} ms/batch = '
+                  f'{args.frames / t:.2f} frames/s', flush=True)
 
 
 if __name__ == '__main__':

@@ -73,4 +73,12 @@ v2 = np.asarray(out2['valid'] if 'valid' in out2 else out2.get('boxes', 0))
 print('detect_poses_batched (bf16 tiny detector):', p2.shape,
       'finite-at-valid ok:', bool(np.all(np.isfinite(p2[np.isfinite(p2)]))))
 print('keys:', sorted(out2.keys()))
+
+tick('stream start')
+imgs_k = jnp.stack([jnp.asarray(img), jnp.asarray(img)])[:, None]
+out3 = est2.detect_poses_stream(imgs_k, num_aug=2, max_detections=4,
+                                detector_threshold=0.0)
+p3 = np.asarray(out3['poses3d'])
+print('detect_poses_stream (K=2):', p3.shape,
+      'slices equal:', bool(np.allclose(p3[0], p3[1], equal_nan=True)))
 print('VERIFY OK')

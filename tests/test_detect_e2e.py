@@ -80,3 +80,31 @@ def test_fused_matches_unfused(full_estimator, rng):
     np.testing.assert_allclose(np.asarray(out_f['poses3d']),
                                np.asarray(out_u['poses3d']),
                                rtol=1e-4, atol=0.1)
+
+
+def test_detect_poses_stream_matches_batched(full_estimator, rng):
+    """ONE-dispatch streamed serving (lax.map over K frame-batches) must
+    match K independent detect_poses_batched calls."""
+    images_k = rng.integers(0, 255, size=(2, 2, 120, 160, 3), dtype=np.uint8)
+    kwargs = dict(num_aug=2, max_detections=4, detector_threshold=0.0,
+                  suppress_implausible_poses=True)
+    out_s = full_estimator.detect_poses_stream(images_k, **kwargs)
+    assert np.asarray(out_s['poses3d']).shape == (2, 2, 4, 17, 3)
+    assert np.asarray(out_s['valid']).shape == (2, 2, 4)
+    for k in range(2):
+        out_b = full_estimator.detect_poses_batched(images_k[k], **kwargs)
+        np.testing.assert_array_equal(np.asarray(out_s['valid'])[k],
+                                      np.asarray(out_b['valid']))
+        np.testing.assert_allclose(
+            np.asarray(out_s['boxes'])[k], np.asarray(out_b['boxes']),
+            rtol=1e-5, atol=1e-4)
+        valid = np.asarray(out_b['valid'])
+        np.testing.assert_allclose(
+            np.asarray(out_s['poses3d'])[k][valid],
+            np.asarray(out_b['poses3d'])[valid], rtol=1e-4, atol=0.5)
+
+
+def test_detect_poses_stream_rejects_4d(full_estimator, rng):
+    images = rng.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        full_estimator.detect_poses_stream(images)
