@@ -482,6 +482,61 @@ class PoseEstimator:
             internal_batch_size, antialias_factor, num_aug, average_aug,
             skeleton, suppress=False)
 
+    def estimate_poses_stream(
+            self, images, boxes, box_valid=None, intrinsic_matrix=None,
+            distortion_coeffs=None, extrinsic_matrix=None,
+            world_up_vector=(0, -1, 0), default_fov_degrees=55.0,
+            internal_batch_size=64, antialias_factor=1, num_aug=5,
+            average_aug=True, skeleton=''):
+        """estimate_poses_batched over a STREAM of K frame-batches in ONE
+        device dispatch (`detect_poses_stream` analogue): `images` is
+        [K, B, H, W, 3], `boxes` [K, B, max_boxes, 4], `box_valid`
+        [K, B, max_boxes] (or None = all valid). Camera arguments are per
+        frame-slot [B, ...], shared across K. Outputs carry a leading K
+        axis; semantics match K independent batched calls."""
+        images = jnp.asarray(images)
+        if images.ndim != 5:
+            raise ValueError(f'images must be [K, B, H, W, 3], '
+                             f'got shape {images.shape}')
+        boxes = np.asarray(boxes, np.float32)
+        if box_valid is None:
+            box_valid = np.ones(boxes.shape[:3], bool)
+        boxes5 = np.concatenate([boxes, np.ones_like(boxes[..., :1])], axis=-1)
+        n_images = images.shape[1]
+        (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+         world_up_vector) = self._prepare_camera_args(
+            n_images, intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+            world_up_vector)
+        fn = self._get_estimate_stream_jitted(
+            num_aug=int(num_aug), average_aug=bool(average_aug),
+            antialias_factor=int(antialias_factor),
+            internal_batch_size=int(internal_batch_size),
+            skeleton_indices=tuple(int(i) for i in self.skeletons.indices(skeleton)),
+            suppress_implausible_poses=False)
+        return fn(self.crop_model_state, images, jnp.asarray(boxes5),
+                  jnp.asarray(box_valid), jnp.asarray(intrinsic_matrix),
+                  jnp.asarray(distortion_coeffs), jnp.asarray(extrinsic_matrix),
+                  jnp.asarray(world_up_vector),
+                  jnp.float32(default_fov_degrees))
+
+    def _get_estimate_stream_jitted(self, **static_kwargs):
+        key = ('estimate-stream',) + tuple(sorted(static_kwargs.items()))
+        if key not in self._jitted:
+            core = functools.partial(self._core, **static_kwargs)
+
+            def stream(crop_state, images_k, boxes5_k, valid_k,
+                       intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+                       world_up_vector, default_fov_degrees):
+                return jax.lax.map(
+                    lambda xs: core(
+                        crop_state, xs[0], xs[1], xs[2], intrinsic_matrix,
+                        distortion_coeffs, extrinsic_matrix, world_up_vector,
+                        default_fov_degrees),
+                    (images_k, boxes5_k, valid_k))
+
+            self._jitted[key] = jax.jit(stream)
+        return self._jitted[key]
+
     def detect_poses_batched(
             self, images, intrinsic_matrix=None, distortion_coeffs=None,
             extrinsic_matrix=None, world_up_vector=(0, -1, 0),

@@ -214,3 +214,19 @@ def test_padding_chunks_are_skipped_cheaply(estimator, test_data):
         num_aug=2, internal_batch_size=2)
     np.testing.assert_allclose(
         p[0, 1], np.asarray(out_single['poses3d'])[0, 0], rtol=1e-4, atol=0.1)
+
+
+def test_estimate_poses_stream_matches_batched(estimator, rng):
+    """estimate_poses_stream (one-dispatch lax.map over K batches) must
+    match K independent estimate_poses_batched calls."""
+    images_k = rng.integers(0, 255, size=(2, 2, 100, 120, 3), dtype=np.uint8)
+    boxes_k = np.asarray(
+        [[[[10, 10, 60, 80], [30, 5, 50, 90]]] * 2] * 2, np.float32)
+    out_s = estimator.estimate_poses_stream(images_k, boxes_k, num_aug=2)
+    assert np.asarray(out_s['poses3d']).shape == (2, 2, 2, 17, 3)
+    for k in range(2):
+        out_b = estimator.estimate_poses_batched(
+            images_k[k], boxes_k[k], num_aug=2)
+        np.testing.assert_allclose(
+            np.asarray(out_s['poses3d'])[k], np.asarray(out_b['poses3d']),
+            rtol=1e-4, atol=0.5)
