@@ -62,6 +62,13 @@ def main(argv=None):
         '--letterbox', default=None,
         help='HxW canonical frame size (e.g. 1080x1920): resize+pad frames '
              'and transform intrinsics so any source shares one program')
+    parser.add_argument(
+        '--stream', type=int, default=0,
+        help='run K frame-batches per device dispatch '
+             '(estimator.detect_poses_stream): amortizes per-call dispatch '
+             'overhead for offline throughput. Requires the camera to be '
+             'constant over the video (it is, unless frame sizes vary '
+             'mid-stream).')
     args = parser.parse_args(argv)
     letterbox_hw = None
     if args.letterbox:
@@ -85,7 +92,98 @@ def main(argv=None):
 
     n_frames = 0
     n_poses_total = 0
+
+    def prepare(batch):
+        """Letterbox + pad a frame list into a dispatchable batch dict."""
+        n_real = len(batch)
+        intrinsics = None
+        if letterbox_hw is not None:
+            lh, lw = letterbox_hw
+            boxed = [letterbox_frame(rgb, lh, lw) for rgb in batch]
+            frames_in = [b[0] for b in boxed]
+            # K' = shift/scale @ K_fov(original size): the letterboxed
+            # canvas keeps the original camera's geometry exactly.
+            intrinsics = np.stack([
+                np.array([[s, 0, ox], [0, s, oy], [0, 0, 1]], np.float32)
+                @ fov_intrinsics(args.fov, *rgb.shape[:2])
+                for rgb, (_, s, ox, oy) in zip(batch, boxed)])
+            unmaps = [(s, ox, oy) for _, s, ox, oy in boxed]
+        else:
+            frames_in = batch
+            unmaps = [(1.0, 0, 0)] * n_real
+        # Pad the trailing partial batch to the full --frame-batch so it
+        # reuses the same compiled program; padded rows are dropped.
+        while len(frames_in) < args.frame_batch:
+            frames_in = frames_in + [frames_in[-1]]
+            if intrinsics is not None:
+                intrinsics = np.concatenate(
+                    [intrinsics, intrinsics[-1:]], axis=0)
+        return dict(images=np.stack(frames_in), intrinsics=intrinsics,
+                    unmaps=unmaps, n_real=n_real, rgbs=batch)
+
+    def dispatch_one(images, intrinsics):
+        if estimator.detector is not None:
+            return estimator.detect_poses_batched(
+                images, num_aug=args.num_aug, skeleton=args.skeleton,
+                default_fov_degrees=args.fov, intrinsic_matrix=intrinsics,
+                max_detections=args.max_boxes)
+        h, w = images.shape[1:3]
+        boxes = np.tile(
+            np.array([[[w * .25, h * .05, w * .5, h * .9]]], np.float32),
+            (images.shape[0], 1, 1))
+        return estimator.estimate_poses_batched(
+            images, boxes, num_aug=args.num_aug, skeleton=args.skeleton,
+            default_fov_degrees=args.fov, intrinsic_matrix=intrinsics)
+
+    def dispatch_stream(prepared):
+        """K prepared batches in one device dispatch. Stream camera args
+        are shared across K, so all letterboxed intrinsics must agree —
+        true for any fixed-size source."""
+        if estimator.detector is None:
+            raise SystemExit('--stream requires a detector-equipped model')
+        intr0 = prepared[0]['intrinsics']
+        for p in prepared[1:]:
+            same = ((intr0 is None and p['intrinsics'] is None)
+                    or (intr0 is not None and p['intrinsics'] is not None
+                        and np.allclose(intr0, p['intrinsics'])))
+            if not same:
+                raise SystemExit(
+                    '--stream needs constant intrinsics across batches '
+                    '(source frame size changed mid-video); rerun without '
+                    '--stream or with --letterbox')
+        k_real = len(prepared)
+        while len(prepared) < args.stream:  # pad to the compiled K
+            prepared = prepared + [prepared[-1]]
+        images_k = np.stack([p['images'] for p in prepared])
+        out = estimator.detect_poses_stream(
+            images_k, num_aug=args.num_aug, skeleton=args.skeleton,
+            default_fov_degrees=args.fov, intrinsic_matrix=intr0,
+            max_detections=args.max_boxes)
+        return [{key: np.asarray(val)[k] for key, val in out.items()}
+                for k in range(k_real)]
+
+    def render(prep, result):
+        nonlocal n_frames, n_poses_total, writer
+        n_real = prep['n_real']
+        poses2d = np.array(result['poses2d'])[:n_real]
+        valid = np.asarray(result['valid'])[:n_real]
+        # Map overlay coordinates back to original-frame pixels.
+        for bi, (s, ox, oy) in enumerate(prep['unmaps']):
+            poses2d[bi, ..., 0] = (poses2d[bi, ..., 0] - ox) / s
+            poses2d[bi, ..., 1] = (poses2d[bi, ..., 1] - oy) / s
+        for bi, rgb in enumerate(prep['rgbs']):
+            n_poses_total += int(valid[bi].sum())
+            if args.out:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        args.out, cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                        (rgb.shape[1], rgb.shape[0]))
+                vis = draw_poses(rgb, poses2d[bi][valid[bi]], edges)
+                writer.write(cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+        n_frames += n_real
+
     batch = []
+    pending = []
     done = False
     while not done:
         ok, frame = cap.read()
@@ -93,65 +191,23 @@ def main(argv=None):
             batch.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         # Stop reading when the stream ends or the frame budget is reached,
         # but always flush the pending partial batch first.
+        read_frames = n_frames + sum(p['n_real'] for p in pending)
         done = (not ok) or bool(
-            args.max_frames and n_frames + len(batch) >= args.max_frames)
+            args.max_frames and read_frames + len(batch) >= args.max_frames)
         if done and args.max_frames:
-            batch = batch[:max(0, args.max_frames - n_frames)]
+            batch = batch[:max(0, args.max_frames - read_frames)]
         if batch and (len(batch) == args.frame_batch or done):
-            n_real = len(batch)
-            intrinsics = None
-            if letterbox_hw is not None:
-                lh, lw = letterbox_hw
-                boxed = [letterbox_frame(rgb, lh, lw) for rgb in batch]
-                frames_in = [b[0] for b in boxed]
-                # K' = shift/scale @ K_fov(original size): the letterboxed
-                # canvas keeps the original camera's geometry exactly.
-                intrinsics = np.stack([
-                    np.array([[s, 0, ox], [0, s, oy], [0, 0, 1]], np.float32)
-                    @ fov_intrinsics(args.fov, *rgb.shape[:2])
-                    for rgb, (_, s, ox, oy) in zip(batch, boxed)])
-                unmaps = [(s, ox, oy) for _, s, ox, oy in boxed]
-            else:
-                frames_in = batch
-                unmaps = [(1.0, 0, 0)] * n_real
-            # Pad the trailing partial batch to the full --frame-batch so it
-            # reuses the same compiled program; padded rows are dropped.
-            while len(frames_in) < args.frame_batch:
-                frames_in = frames_in + [frames_in[-1]]
-                if intrinsics is not None:
-                    intrinsics = np.concatenate(
-                        [intrinsics, intrinsics[-1:]], axis=0)
-            images = np.stack(frames_in)
-            if estimator.detector is not None:
-                result = estimator.detect_poses_batched(
-                    images, num_aug=args.num_aug, skeleton=args.skeleton,
-                    default_fov_degrees=args.fov, intrinsic_matrix=intrinsics,
-                    max_detections=args.max_boxes)
-            else:
-                h, w = images.shape[1:3]
-                boxes = np.tile(
-                    np.array([[[w * .25, h * .05, w * .5, h * .9]]], np.float32),
-                    (images.shape[0], 1, 1))
-                result = estimator.estimate_poses_batched(
-                    images, boxes, num_aug=args.num_aug, skeleton=args.skeleton,
-                    default_fov_degrees=args.fov, intrinsic_matrix=intrinsics)
-            poses2d = np.array(result['poses2d'])[:n_real]
-            valid = np.asarray(result['valid'])[:n_real]
-            # Map overlay coordinates back to original-frame pixels.
-            for bi, (s, ox, oy) in enumerate(unmaps):
-                poses2d[bi, ..., 0] = (poses2d[bi, ..., 0] - ox) / s
-                poses2d[bi, ..., 1] = (poses2d[bi, ..., 1] - oy) / s
-            for bi, rgb in enumerate(batch):
-                n_poses_total += int(valid[bi].sum())
-                if args.out:
-                    if writer is None:
-                        writer = cv2.VideoWriter(
-                            args.out, cv2.VideoWriter_fourcc(*'mp4v'), fps,
-                            (rgb.shape[1], rgb.shape[0]))
-                    vis = draw_poses(rgb, poses2d[bi][valid[bi]], edges)
-                    writer.write(cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
-            n_frames += len(batch)
+            pending.append(prepare(batch))
             batch = []
+        if pending and (len(pending) == max(1, args.stream) or done):
+            if args.stream:
+                for prep, res in zip(pending, dispatch_stream(pending)):
+                    render(prep, res)
+            else:
+                for prep in pending:
+                    render(prep, dispatch_one(prep['images'],
+                                              prep['intrinsics']))
+            pending = []
     cap.release()
     if writer is not None:
         writer.release()

@@ -90,3 +90,53 @@ def test_letterbox_intrinsics_geometry():
     mapped = mapped[:2] / mapped[2]
     np.testing.assert_allclose(
         mapped, [30.0 * s + ox, 40.0 * s + oy], rtol=1e-5)
+
+
+def test_stream_mode(tmp_path, monkeypatch, capsys):
+    """--stream K: batches are queued and dispatched K-at-a-time through
+    detect_poses_stream, with the trailing partial K padded (results for
+    pad batches discarded). Frame count and call pattern must match."""
+    from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4Tiny
+
+    calls = {'stream': [], 'batched': 0}
+
+    class StreamRecordingEstimator(PoseEstimator):
+        def detect_poses_stream(self, images, **kwargs):
+            calls['stream'].append(tuple(np.asarray(images).shape))
+            return super().detect_poses_stream(images, **kwargs)
+
+        def detect_poses_batched(self, images, **kwargs):
+            calls['batched'] += 1
+            return super().detect_poses_batched(images, **kwargs)
+
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16,
+                                                   dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32),
+                        jnp.eye(3)[jnp.newaxis])
+
+    def crop_model_fn(crops, intrinsics, sample_valid):
+        return model.apply(params, crops, intrinsics, train=False,
+                           sample_valid=sample_valid)
+
+    det_model = YOLOv4Tiny(num_classes=80, dtype=jnp.float32)
+    det_vars = det_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 96, 96, 3), jnp.float32),
+                              train=False)
+    est = StreamRecordingEstimator(
+        crop_model_fn, H36M_17, CFG,
+        detector=PersonDetector(det_model, det_vars, input_size=96,
+                                top_candidates=32))
+    monkeypatch.setattr(
+        'metrabs_tpu.apps.demo_image.build_default_estimator', lambda: est)
+
+    video = os.path.join(str(tmp_path), 'in.mp4')
+    _write_video(video, n_frames=10, w=100, h=76)
+    demo_video.main(['--video', video, '--num-aug', '1', '--frame-batch',
+                     '2', '--stream', '2', '--letterbox', '96x128',
+                     '--max-boxes', '2'])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result['frames'] == 10
+    # 5 batches of 2 frames -> stream flushes [2, 2, 1->padded to 2].
+    assert calls['batched'] == 0
+    assert calls['stream'] == [(2, 2, 96, 128, 3)] * 3
