@@ -83,6 +83,9 @@ def main(argv=None):
     else:
         estimator = build_default_estimator()
 
+    if args.stream and estimator.detector is None:
+        raise SystemExit('--stream requires a detector-equipped model')
+
     cap = cv2.VideoCapture(args.video)
     if not cap.isOpened():
         raise FileNotFoundError(args.video)
@@ -139,8 +142,6 @@ def main(argv=None):
         """K prepared batches in one device dispatch. Stream camera args
         are shared across K, so all letterboxed intrinsics must agree —
         true for any fixed-size source."""
-        if estimator.detector is None:
-            raise SystemExit('--stream requires a detector-equipped model')
         intr0 = prepared[0]['intrinsics']
         for p in prepared[1:]:
             same = ((intr0 is None and p['intrinsics'] is None)
@@ -159,7 +160,10 @@ def main(argv=None):
             images_k, num_aug=args.num_aug, skeleton=args.skeleton,
             default_fov_degrees=args.fov, intrinsic_matrix=intr0,
             max_detections=args.max_boxes)
-        return [{key: np.asarray(val)[k] for key, val in out.items()}
+        # One device->host transfer per output array, then host-side slicing
+        # (np.asarray inside the per-k loop would re-fetch K times).
+        out_np = {key: np.asarray(val) for key, val in out.items()}
+        return [{key: val[k] for key, val in out_np.items()}
                 for k in range(k_real)]
 
     def render(prep, result):

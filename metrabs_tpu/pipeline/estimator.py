@@ -472,10 +472,7 @@ class PoseEstimator:
         confidence 1.0 and are never plausibility-filtered
         (`multiperson_model.py:89-101`, SURVEY.md §8.13).
         """
-        boxes = np.asarray(boxes, np.float32)
-        if box_valid is None:
-            box_valid = np.ones(boxes.shape[:2], bool)
-        boxes5 = np.concatenate([boxes, np.ones_like(boxes[..., :1])], axis=-1)
+        boxes5, box_valid = self._boxes5_from(boxes, box_valid)
         return self._run(
             images, boxes5, box_valid, intrinsic_matrix, distortion_coeffs,
             extrinsic_matrix, world_up_vector, default_fov_degrees,
@@ -498,10 +495,7 @@ class PoseEstimator:
         if images.ndim != 5:
             raise ValueError(f'images must be [K, B, H, W, 3], '
                              f'got shape {images.shape}')
-        boxes = np.asarray(boxes, np.float32)
-        if box_valid is None:
-            box_valid = np.ones(boxes.shape[:3], bool)
-        boxes5 = np.concatenate([boxes, np.ones_like(boxes[..., :1])], axis=-1)
+        boxes5, box_valid = self._boxes5_from(boxes, box_valid)
         n_images = images.shape[1]
         (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
          world_up_vector) = self._prepare_camera_args(
@@ -519,6 +513,17 @@ class PoseEstimator:
                   jnp.asarray(world_up_vector),
                   jnp.float32(default_fov_degrees))
 
+    @staticmethod
+    def _boxes5_from(boxes, box_valid):
+        """[..., 4] user boxes -> ([..., 5] with confidence 1, validity);
+        all-valid when box_valid is None. Works for [B, n, 4] and the
+        stream layout [K, B, n, 4] alike."""
+        boxes = np.asarray(boxes, np.float32)
+        if box_valid is None:
+            box_valid = np.ones(boxes.shape[:-1], bool)
+        boxes5 = np.concatenate([boxes, np.ones_like(boxes[..., :1])], axis=-1)
+        return boxes5, box_valid
+
     def _get_estimate_stream_jitted(self, **static_kwargs):
         key = ('estimate-stream',) + tuple(sorted(static_kwargs.items()))
         if key not in self._jitted:
@@ -534,7 +539,19 @@ class PoseEstimator:
                         default_fov_degrees),
                     (images_k, boxes5_k, valid_k))
 
-            self._jitted[key] = jax.jit(stream)
+            if self._mesh is not None:
+                # Mirror _get_jitted's data-parallel shardings: [K, B, ...]
+                # operands shard their SECOND (frame-batch) axis over
+                # 'data', per-frame-slot camera args their first.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self._mesh, P())
+                kb = NamedSharding(self._mesh, P(None, 'data'))
+                b = NamedSharding(self._mesh, P('data'))
+                self._jitted[key] = jax.jit(
+                    stream,
+                    in_shardings=(repl, kb, kb, kb, b, b, b, repl, repl))
+            else:
+                self._jitted[key] = jax.jit(stream)
         return self._jitted[key]
 
     def detect_poses_batched(
@@ -579,13 +596,42 @@ class PoseEstimator:
                 internal_batch_size, antialias_factor, num_aug, average_aug,
                 skeleton, suppress=suppress_implausible_poses)
 
+        return self._dispatch_fused(
+            images, stream=False, flip_vertical=flip_vertical,
+            intrinsic_matrix=intrinsic_matrix,
+            distortion_coeffs=distortion_coeffs,
+            extrinsic_matrix=extrinsic_matrix,
+            world_up_vector=world_up_vector,
+            default_fov_degrees=default_fov_degrees,
+            internal_batch_size=internal_batch_size,
+            antialias_factor=antialias_factor, num_aug=num_aug,
+            average_aug=average_aug, skeleton=skeleton,
+            detector_threshold=detector_threshold,
+            detector_nms_iou_threshold=detector_nms_iou_threshold,
+            max_detections=max_detections,
+            detector_flip_aug=detector_flip_aug,
+            suppress_implausible_poses=suppress_implausible_poses)
+
+    def _dispatch_fused(self, images, *, stream, flip_vertical,
+                        intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
+                        world_up_vector, default_fov_degrees,
+                        internal_batch_size, antialias_factor, num_aug,
+                        average_aug, skeleton, detector_threshold,
+                        detector_nms_iou_threshold, max_detections,
+                        detector_flip_aug, suppress_implausible_poses):
+        """Shared argument marshalling for the fused detect paths: the
+        per-batch jit and the K-batch stream differ only in which jitted
+        wrapper runs and where the (B, H, W) axes sit."""
         images = jnp.asarray(images)
-        n_images = images.shape[0]
+        bd = 1 if stream else 0  # frame-batch axis position
+        n_images = images.shape[bd]
         (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
          world_up_vector) = self._prepare_camera_args(
             n_images, intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
             world_up_vector)
-        fn = self._get_fused_jitted(
+        get_jitted = (self._get_fused_stream_jitted if stream
+                      else self._get_fused_jitted)
+        fn = get_jitted(
             num_aug=int(num_aug), average_aug=bool(average_aug),
             antialias_factor=int(antialias_factor),
             internal_batch_size=int(internal_batch_size),
@@ -594,7 +640,8 @@ class PoseEstimator:
             max_detections=int(max_detections),
             detector_flip_aug=bool(detector_flip_aug),
             flip_vertical=bool(flip_vertical),
-            orig_h=int(images.shape[1]), orig_w=int(images.shape[2]))
+            orig_h=int(images.shape[bd + 1]),
+            orig_w=int(images.shape[bd + 2]))
         return fn(self.detector.variables, self.crop_model_state, images,
                   jnp.float32(detector_threshold),
                   jnp.float32(detector_nms_iou_threshold),
@@ -629,27 +676,21 @@ class PoseEstimator:
         if images.ndim != 5:
             raise ValueError(f'images must be [K, B, H, W, 3], '
                              f'got shape {images.shape}')
-        n_images = images.shape[1]
-        (intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
-         world_up_vector) = self._prepare_camera_args(
-            n_images, intrinsic_matrix, distortion_coeffs, extrinsic_matrix,
-            world_up_vector)
-        fn = self._get_fused_stream_jitted(
-            num_aug=int(num_aug), average_aug=bool(average_aug),
-            antialias_factor=int(antialias_factor),
-            internal_batch_size=int(internal_batch_size),
-            skeleton_indices=tuple(int(i) for i in self.skeletons.indices(skeleton)),
-            suppress_implausible_poses=bool(suppress_implausible_poses),
-            max_detections=int(max_detections),
-            detector_flip_aug=bool(detector_flip_aug),
-            flip_vertical=bool(flip_vertical),
-            orig_h=int(images.shape[2]), orig_w=int(images.shape[3]))
-        return fn(self.detector.variables, self.crop_model_state, images,
-                  jnp.float32(detector_threshold),
-                  jnp.float32(detector_nms_iou_threshold),
-                  jnp.asarray(intrinsic_matrix), jnp.asarray(distortion_coeffs),
-                  jnp.asarray(extrinsic_matrix), jnp.asarray(world_up_vector),
-                  jnp.float32(default_fov_degrees))
+        return self._dispatch_fused(
+            images, stream=True, flip_vertical=flip_vertical,
+            intrinsic_matrix=intrinsic_matrix,
+            distortion_coeffs=distortion_coeffs,
+            extrinsic_matrix=extrinsic_matrix,
+            world_up_vector=world_up_vector,
+            default_fov_degrees=default_fov_degrees,
+            internal_batch_size=internal_batch_size,
+            antialias_factor=antialias_factor, num_aug=num_aug,
+            average_aug=average_aug, skeleton=skeleton,
+            detector_threshold=detector_threshold,
+            detector_nms_iou_threshold=detector_nms_iou_threshold,
+            max_detections=max_detections,
+            detector_flip_aug=detector_flip_aug,
+            suppress_implausible_poses=suppress_implausible_poses)
 
     def _make_fused_fn(self, *, max_detections, detector_flip_aug,
                        flip_vertical, orig_h, orig_w, **static_kwargs):

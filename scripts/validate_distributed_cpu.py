@@ -26,18 +26,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PORT = 12357
 N_PROC = 2
 STEPS = 3
 GLOBAL_BATCH = 8
 
 
-def worker(process_id: int):
+def worker(process_id: int, port: int):
     os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
     import jax
     jax.config.update('jax_platforms', 'cpu')
     jax.distributed.initialize(
-        coordinator_address=f'localhost:{PORT}',
+        coordinator_address=f'localhost:{port}',
         num_processes=N_PROC, process_id=process_id)
     import jax.numpy as jnp
     import numpy as np
@@ -109,20 +108,38 @@ def worker(process_id: int):
     jax.distributed.shutdown()
 
 
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--process-id', type=int, default=None)
+    parser.add_argument('--port', type=int, default=None)
     args = parser.parse_args()
     if args.process_id is not None:
-        worker(args.process_id)
+        worker(args.process_id, args.port)
         return
 
+    # Ephemeral coordinator port: a fixed port would make one hung run
+    # block every later invocation until the orphans are killed.
+    port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
-         '--process-id', str(i)],
+         '--process-id', str(i), '--port', str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(N_PROC)]
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=1200)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:  # don't leak workers holding the coordinator
+            p.kill()
+        for p in procs:
+            p.wait()
+        raise SystemExit('worker timed out after 1200 s')
     results = {}
     for out, p in zip(outs, procs):
         if p.returncode != 0:

@@ -51,10 +51,13 @@ out = est.estimate_poses(img, boxes, num_aug=2, average_aug=False)
 p = np.asarray(out['poses3d'])
 print('estimate_poses (GN resnet, aug axis, degenerate box):',
       p.shape, 'finite:', bool(np.all(np.isfinite(p))))
+assert p.shape == (3, 2, 17, 3), p.shape
+assert np.all(np.isfinite(p)), 'non-finite poses from estimate_poses'
 
 tick('first done')
 out14 = est.estimate_poses(img, boxes[:2], num_aug=2, skeleton='lsp_14')
 print('lsp_14:', np.asarray(out14['poses3d']).shape)
+assert np.asarray(out14['poses3d']).shape == (2, 14, 3)
 
 # Detector path with the NEW bf16 compute dtype (this session's change).
 tick('lsp done')
@@ -69,9 +72,13 @@ out2 = est2.detect_poses_batched(
     jnp.asarray(img)[None], num_aug=2, max_detections=4,
     detector_threshold=0.0)
 p2 = np.asarray(out2['poses3d'])
-v2 = np.asarray(out2['valid'] if 'valid' in out2 else out2.get('boxes', 0))
+v2 = np.asarray(out2['valid']).astype(bool)
+finite_at_valid = bool(np.all(np.isfinite(p2[v2])))
 print('detect_poses_batched (bf16 tiny detector):', p2.shape,
-      'finite-at-valid ok:', bool(np.all(np.isfinite(p2[np.isfinite(p2)]))))
+      'valid:', int(v2.sum()), 'finite-at-valid ok:', finite_at_valid)
+assert p2.shape == (1, 4, 17, 3), p2.shape
+assert finite_at_valid, 'non-finite poses at valid detection rows'
+assert sorted(out2.keys()) == ['boxes', 'poses2d', 'poses3d', 'valid']
 print('keys:', sorted(out2.keys()))
 
 tick('stream start')
@@ -79,6 +86,10 @@ imgs_k = jnp.stack([jnp.asarray(img), jnp.asarray(img)])[:, None]
 out3 = est2.detect_poses_stream(imgs_k, num_aug=2, max_detections=4,
                                 detector_threshold=0.0)
 p3 = np.asarray(out3['poses3d'])
-print('detect_poses_stream (K=2):', p3.shape,
-      'slices equal:', bool(np.allclose(p3[0], p3[1], equal_nan=True)))
+slices_equal = bool(np.allclose(p3[0], p3[1], equal_nan=True))
+print('detect_poses_stream (K=2):', p3.shape, 'slices equal:', slices_equal)
+assert p3.shape == (2, 1, 4, 17, 3), p3.shape
+assert slices_equal, 'stream slices for identical frames diverged'
+# VERIFY OK is gated by every assert above: it only prints if all
+# checks actually passed (a crash or assert never reaches it).
 print('VERIFY OK')

@@ -45,3 +45,34 @@ def test_estimator_sharded_over_mesh(rng):
     # full-persp pooled RMS couples crops within a chunk identically in both
     # cases (same chunking), so outputs should agree closely.
     np.testing.assert_allclose(p_sharded, p_plain, rtol=1e-3, atol=0.5)
+
+
+def test_estimate_stream_sharded_over_mesh(rng):
+    """estimate_poses_stream on a mesh-constructed estimator must shard the
+    frame-batch axis over 'data' (not silently run unsharded) and match the
+    unsharded stream results."""
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.eye(3)[None])
+
+    def crop_fn(state, c, k, v):
+        return model.apply(state, c, k, train=False, sample_valid=v)
+
+    mesh = mesh_mod.make_mesh(n_data=8, n_model=1)
+    est_sharded = PoseEstimator(crop_fn, H36M_17, CFG,
+                                crop_model_state=params, mesh=mesh)
+    est_plain = PoseEstimator(crop_fn, H36M_17, CFG, crop_model_state=params)
+
+    images = rng.integers(0, 255, size=(2, 8, 96, 128, 3), dtype=np.uint8)
+    boxes = np.tile(
+        np.array([[[[20, 10, 60, 80], [50, 5, 40, 70]]]], np.float32),
+        (2, 8, 1, 1))
+    with mesh:
+        out_sharded = est_sharded.estimate_poses_stream(
+            images, boxes, num_aug=2, internal_batch_size=64)
+    out_plain = est_plain.estimate_poses_stream(
+        images, boxes, num_aug=2, internal_batch_size=64)
+    p_s = np.asarray(out_sharded['poses3d'])
+    p_p = np.asarray(out_plain['poses3d'])
+    assert p_s.shape == (2, 8, 2, 17, 3)
+    np.testing.assert_allclose(p_s, p_p, rtol=1e-3, atol=0.5)
