@@ -83,11 +83,11 @@ def bench_fused_pipeline():
 
     dense_fps, sparse_fps = timeit(0.0), timeit(1.0)
 
-    # Optional streamed-serving regime (BENCH_STREAM=K): one device
+    # Streamed-serving regime (BENCH_STREAM=K, 0 disables): one device
     # dispatch runs K frame-batches via detect_poses_stream, amortizing the
-    # per-call dispatch overhead. Opt-in because it compiles an extra large
-    # program (~tens of minutes cold over the tunnel).
-    stream_k = int(os.environ.get('BENCH_STREAM', '0'))
+    # per-call dispatch overhead (~30-40 ms on the tunnel). Compiles an
+    # extra large program when the persistent cache is cold.
+    stream_k = int(os.environ.get('BENCH_STREAM', '8'))
     stream = None
     if stream_k:
         images_k = jnp.broadcast_to(images[None], (stream_k,) + images.shape)
