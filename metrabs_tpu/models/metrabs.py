@@ -81,10 +81,14 @@ class Metrabs(nn.Module):
             coords2d = coords2d[:, :self.n_latents]
             coords3d = coords3d[:, :self.n_latents]
 
-        stride = self.cfg.stride_train if train else self.cfg.stride_test
+        # The FOV trust border ALWAYS uses stride_train — the reference's
+        # is_within_fov reads FLAGS.stride_train unconditionally
+        # (`tfu3d.py:209-216`), so a stride_test != stride_train config
+        # must not change which border-band joints use the 2D-based
+        # absolute reconstruction.
         coords3d_abs = reconstruct.reconstruct_absolute(
             coords2d, coords3d, intrinsics,
-            proc_side=self.cfg.proc_side, stride=stride,
+            proc_side=self.cfg.proc_side, stride=self.cfg.stride_train,
             centered_stride=self.cfg.centered_stride,
             mix_3d_inside_fov=self.cfg.mix_3d_inside_fov,
             weak_perspective=self.cfg.weak_perspective,

@@ -44,11 +44,14 @@ class Model25D(nn.Module):
     def __call__(self, image: jnp.ndarray, intrinsics: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         coords25d = self.forward_25d(image, train=train)
-        stride = self.cfg.stride_train if train else self.cfg.stride_test
+        # stride here only sets the FOV trust border, which the reference
+        # always derives from stride_train (`tfu3d.py:209-216`) regardless
+        # of the test-time stride.
         return reconstruct_absolute_by_bone_lengths(
             coords25d, intrinsics,
             jnp.asarray(np.asarray(self.bone_lengths_ideal, np.float32)),
-            self.bones, proc_side=self.cfg.proc_side, stride=stride,
+            self.bones, proc_side=self.cfg.proc_side,
+            stride=self.cfg.stride_train,
             centered_stride=self.cfg.centered_stride)
 
 

@@ -23,12 +23,15 @@ import jax.numpy as jnp
 
 
 def _normalize_masked(Z, mask, n_points):
+    """divide_no_nan semantics throughout: an all-invalid (padding) row
+    yields zeros, not NaN that would poison unmasked batch reductions."""
     _0 = jnp.zeros((), Z.dtype)
     Z = jnp.where(mask, Z, _0)
-    mean = jnp.sum(Z, axis=-2, keepdims=True) / n_points
+    mean = jnp.sum(Z, axis=-2, keepdims=True) / jnp.maximum(n_points, 1)
     centered = jnp.where(mask, Z - mean, _0)
     norm = jnp.sqrt(jnp.sum(jnp.square(centered), axis=(-2, -1), keepdims=True))
-    return mean, norm, centered / norm
+    safe_norm = jnp.where(norm > 0, norm, jnp.ones_like(norm))
+    return mean, norm, centered / safe_norm
 
 
 def _horn_rotation(A: jnp.ndarray):
@@ -84,20 +87,22 @@ def procrustes_transform(
     meanY, normY, normalizedY = _normalize_masked(Y, mask, n_points)
     A = jnp.einsum('...ji,...jk->...ik', normalizedY, normalizedX, precision='highest')
 
+    # divide_no_nan: a degenerate/all-invalid Y (normY == 0, a padding
+    # pose) aligns with scale 0 instead of NaN.
+    safe_scale = jnp.where(normY > 0, normX / jnp.where(normY > 0, normY, 1.0),
+                           jnp.zeros_like(normX))
     if not allow_reflection:
         Q, lam = _horn_rotation(A)
         T = jnp.swapaxes(Q, -1, -2)  # row-vector convention: (y @ T) ~ x
         if allow_scaling:
-            relative_scale = normX / normY
-            output_scale = relative_scale * lam[..., jnp.newaxis, jnp.newaxis]
+            output_scale = safe_scale * lam[..., jnp.newaxis, jnp.newaxis]
         else:
             output_scale = jnp.ones_like(normX)
     else:
         U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
         T = jnp.einsum('...ik,...kj->...ij', U, Vh, precision='highest')
         if allow_scaling:
-            relative_scale = normX / normY
-            output_scale = relative_scale * jnp.sum(s, axis=-1)[..., jnp.newaxis, jnp.newaxis]
+            output_scale = safe_scale * jnp.sum(s, axis=-1)[..., jnp.newaxis, jnp.newaxis]
         else:
             output_scale = jnp.ones_like(normX)
 

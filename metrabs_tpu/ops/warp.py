@@ -30,21 +30,36 @@ from metrabs_tpu.ops import distortion as distortion_ops
 from metrabs_tpu.ops.camera import corner_aligned_scale_mat, to_homogeneous
 
 
-def avg_pool_2x2(images: jnp.ndarray) -> jnp.ndarray:
-    """2x2 box filter with stride 2, VALID padding ('warping.py:15')."""
-    n, h, w, c = images.shape
-    h2, w2 = h // 2, w // 2
-    x = images[:, :h2 * 2, :w2 * 2, :]
-    x = x.reshape(n, h2, 2, w2, 2, c)
-    return x.mean(axis=(2, 4))
-
-
 def avg_pool_nxn(images: jnp.ndarray, n_pool: int) -> jnp.ndarray:
+    """nxn box filter with stride n, VALID padding ('warping.py:15')."""
     n, h, w, c = images.shape
     h2, w2 = h // n_pool, w // n_pool
     x = images[:, :h2 * n_pool, :w2 * n_pool, :]
     x = x.reshape(n, h2, n_pool, w2, n_pool, c)
     return x.mean(axis=(2, 4))
+
+
+def avg_pool_2x2(images: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box filter (the pyramid-build step) = avg_pool_nxn(images, 2)."""
+    return avg_pool_nxn(images, 2)
+
+
+def select_pyramid_level(crop_scales: jnp.ndarray, intrinsic_matrix: jnp.ndarray,
+                         n_pyramid_levels: int):
+    """Per-crop pyramid level (floor(-log2(scale)), clipped) and the
+    level-adjusted intrinsics K_l = S(1/2^l) @ K ('warping.py:20-28').
+    Shared by BOTH warp backends (the XLA gather here and the Pallas tiled
+    kernel) so the two stay drop-in equivalent. Returns (i_levels [N],
+    k_sel [N, 3, 3])."""
+    i_levels = jnp.floor(-jnp.log(crop_scales) / jnp.log(2.0))
+    i_levels = jnp.clip(i_levels, 0, n_pyramid_levels - 1).astype(jnp.int32)
+    k_levels = jnp.stack([
+        jnp.einsum('ij,bjk->bik', corner_aligned_scale_mat(1.0 / 2 ** level),
+                   intrinsic_matrix, precision='highest')
+        for level in range(n_pyramid_levels)], axis=0)  # [L, N, 3, 3]
+    k_sel = jnp.take_along_axis(
+        k_levels, i_levels[None, :, None, None], axis=0)[0]  # [N, 3, 3]
+    return i_levels, k_sel
 
 
 def bilinear_gather(
@@ -211,18 +226,10 @@ def warp_images_with_pyramid(
     reads touch each source pixel at most ~1.33x (pyramid build).
     Returns [n_crops, oh, ow, 3].
     """
-    i_levels = jnp.floor(-jnp.log(crop_scales) / jnp.log(2.0))
-    i_levels = jnp.clip(i_levels, 0, n_pyramid_levels - 1).astype(jnp.int32)
+    i_levels, k_sel = select_pyramid_level(
+        crop_scales, intrinsic_matrix, n_pyramid_levels)
 
     flat, level_info, per_image_len = build_flat_pyramid(images, n_pyramid_levels)
-
-    # Per-crop level-adjusted intrinsics: K_l = S(1/2^l) @ K.
-    k_levels = jnp.stack([
-        jnp.einsum('ij,bjk->bik', corner_aligned_scale_mat(1.0 / 2 ** level),
-                   intrinsic_matrix, precision='highest')
-        for level in range(n_pyramid_levels)], axis=0)  # [L, N, 3, 3]
-    k_sel = jnp.take_along_axis(
-        k_levels, i_levels[None, :, None, None], axis=0)[0]  # [N, 3, 3]
 
     coords = warp_coords(new_invprojmat, k_sel, distortion_coeffs, output_shape)
 

@@ -54,7 +54,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from metrabs_tpu.ops import warp as warp_ops
-from metrabs_tpu.ops.camera import corner_aligned_scale_mat
 from metrabs_tpu.ops.distortion import pad_distortion_coeffs
 
 TR, TC = 32, 32          # output tile shape (rows, cols)
@@ -272,20 +271,13 @@ def warp_images_with_pyramid_tiled(
     n_by, n_bx = oh // TR, ow // TC
     n_tiles = n_by * n_bx
 
-    i_levels = jnp.floor(-jnp.log(crop_scales) / jnp.log(2.0))
-    i_levels = jnp.clip(i_levels, 0, n_pyramid_levels - 1).astype(jnp.int32)
+    i_levels, k_sel = warp_ops.select_pyramid_level(
+        crop_scales, intrinsic_matrix, n_pyramid_levels)
 
     if pyramid_canvas is None:
         pyramid_canvas = build_pyramid_canvas(
             images.astype(jnp.float32), n_pyramid_levels)
     canvas, level_rows, level_dims = pyramid_canvas
-
-    k_levels = jnp.stack([
-        jnp.einsum('ij,bjk->bik', corner_aligned_scale_mat(1.0 / 2 ** level),
-                   intrinsic_matrix, precision='highest')
-        for level in range(n_pyramid_levels)], axis=0)  # [L, N, 3, 3]
-    k_sel = jnp.take_along_axis(
-        k_levels, i_levels[None, :, None, None], axis=0)[0]  # [N, 3, 3]
 
     # Per-tile window origins from the exact coords (computed once in XLA;
     # the kernel recomputes per-pixel coords — identical formula, so a margin

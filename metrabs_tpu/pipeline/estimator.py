@@ -710,10 +710,26 @@ class PoseEstimator:
 
         return fused
 
+    def _fused_shardings(self, images_spec):
+        """Data-parallel in_shardings for the fused arg list (det_vars,
+        crop_state, images, thr, nms_thr, K, dist, ext, up, fov): weights
+        and scalars replicated, per-frame args sharded over 'data'."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self._mesh, P())
+        b = NamedSharding(self._mesh, P('data'))
+        imgs = NamedSharding(self._mesh, images_spec)
+        return (repl, repl, imgs, repl, repl, b, b, b, repl, repl)
+
     def _get_fused_jitted(self, **kw):
         key = ('fused',) + tuple(sorted(kw.items()))
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._make_fused_fn(**kw))
+            fused = self._make_fused_fn(**kw)
+            if self._mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                self._jitted[key] = jax.jit(
+                    fused, in_shardings=self._fused_shardings(P('data')))
+            else:
+                self._jitted[key] = jax.jit(fused)
         return self._jitted[key]
 
     def _get_fused_stream_jitted(self, **kw):
@@ -730,7 +746,13 @@ class PoseEstimator:
                     lambda im: fused(det_vars, crop_state, im, *rest),
                     images_k)
 
-            self._jitted[key] = jax.jit(stream)
+            if self._mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                self._jitted[key] = jax.jit(
+                    stream,
+                    in_shardings=self._fused_shardings(P(None, 'data')))
+            else:
+                self._jitted[key] = jax.jit(stream)
         return self._jitted[key]
 
     def _run(self, images, boxes5, box_valid, intrinsic_matrix,

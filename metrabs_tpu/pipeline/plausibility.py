@@ -24,9 +24,15 @@ def is_pose_plausible(
 
     A pose is implausible if any bone is simultaneously way off relative
     (<0.1x or >3x the dataset mean) AND absolutely (>300mm difference).
-    poses: [..., J, 3]; joint2bone_mat: [n_bones, J]; mean_bones: [n_bones].
+    poses: [..., J, 3]; joint2bone_mat: [n_bones, J_model]; mean_bones:
+    [n_bones]. When a joint_transform_matrix extended the pose beyond the
+    model joints, only the first J_model joints feed the bone check — the
+    reference's `poses[..., :joint_info.n_joints, :]` slice
+    (`plausibility_check.py:18`).
     """
-    bones = jnp.einsum('bj,...jc->...bc', joint2bone_mat, poses, precision='highest')
+    n_joints_bones = joint2bone_mat.shape[-1]
+    bones = jnp.einsum('bj,...jc->...bc', joint2bone_mat,
+                       poses[..., :n_joints_bones, :], precision='highest')
     bone_lengths = jnp.linalg.norm(bones, axis=-1)
     relative = bone_lengths / mean_bones
     absdiff = jnp.abs(bone_lengths - mean_bones)

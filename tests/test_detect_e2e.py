@@ -108,3 +108,33 @@ def test_detect_poses_stream_rejects_4d(full_estimator, rng):
     images = rng.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
     with pytest.raises(ValueError):
         full_estimator.detect_poses_stream(images)
+
+
+def test_detect_with_joint_transform_and_suppression(full_estimator, rng):
+    """A joint-count-changing joint_transform_matrix must compose with the
+    plausibility filter: the bone check slices to the model joints
+    (reference `plausibility_check.py:18`)."""
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+    # 17 model joints -> 20 output joints (first 17 passthrough + 3 blends).
+    jt = np.zeros((17, 20), np.float32)
+    jt[:17, :17] = np.eye(17)
+    jt[:, 17] = 1 / 17
+    jt[1, 18] = 0.5
+    jt[2, 18] = 0.5
+    jt[3, 19] = 1.0
+    est = PoseEstimator(
+        full_estimator.crop_model_fn_with_state, H36M_17, CFG,
+        detector=full_estimator.detector, joint_transform_matrix=jt)
+    images = rng.integers(0, 255, size=(1, 120, 160, 3), dtype=np.uint8)
+    out = est.detect_poses_batched(
+        images, num_aug=2, max_detections=4, detector_threshold=0.0,
+        suppress_implausible_poses=True)
+    # The default skeleton ('') gathers the 17 registry joints back out of
+    # the 20 transformed ones; the point of this test is that the
+    # plausibility bone check SLICED the 20-joint poses to the 17 model
+    # joints instead of crashing at trace time (pre-fix behavior).
+    p3 = np.asarray(out['poses3d'])
+    assert p3.shape == (1, 4, 17, 3)
+    valid = np.asarray(out['valid'])
+    if valid.any():
+        assert np.all(np.isfinite(p3[valid]))

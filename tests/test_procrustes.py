@@ -57,3 +57,20 @@ def test_invalid_joints_ignored(rng):
         jnp.array(X), jnp.array(Y_corrupt), jnp.array(mask)))
     valid = mask[0]
     np.testing.assert_allclose(aligned[0, valid], X[0, valid], atol=1e-2)
+
+
+def test_all_invalid_mask_yields_finite(rng):
+    """divide_no_nan semantics: a padding row (all-invalid mask) must align
+    to finite zeros, not NaN that poisons unmasked batch reductions."""
+    from metrabs_tpu.ops.procrustes import procrustes_align
+    X = jnp.asarray(rng.normal(size=(3, 17, 3)), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(3, 17, 3)), jnp.float32)
+    mask = np.ones((3, 17), bool)
+    mask[1] = False  # padding pose
+    out = procrustes_align(X, Y, jnp.asarray(mask), allow_scaling=True)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    # The valid rows still align properly (self-alignment sanity).
+    out_self = np.asarray(procrustes_align(
+        X, X, jnp.asarray(np.ones((3, 17), bool)), allow_scaling=True))
+    np.testing.assert_allclose(out_self, np.asarray(X), atol=1e-4)

@@ -76,3 +76,41 @@ def test_estimate_stream_sharded_over_mesh(rng):
     p_p = np.asarray(out_plain['poses3d'])
     assert p_s.shape == (2, 8, 2, 17, 3)
     np.testing.assert_allclose(p_s, p_p, rtol=1e-3, atol=0.5)
+
+
+def test_fused_detect_sharded_over_mesh(rng):
+    """detect_poses_batched (fused) on a mesh-constructed estimator shards
+    the frame batch over 'data' and matches the unsharded result."""
+    from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4Tiny
+
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.eye(3)[None])
+
+    def crop_fn(state, c, k, v):
+        return model.apply(state, c, k, train=False, sample_valid=v)
+
+    det_model = YOLOv4Tiny(num_classes=80, dtype=jnp.float32)
+    det_vars = det_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 96, 96, 3), jnp.float32),
+                              train=False)
+
+    def make(mesh):
+        return PoseEstimator(
+            crop_fn, H36M_17, CFG, crop_model_state=params, mesh=mesh,
+            detector=PersonDetector(det_model, det_vars, input_size=96,
+                                    top_candidates=32))
+
+    mesh = mesh_mod.make_mesh(n_data=8, n_model=1)
+    images = rng.integers(0, 255, size=(8, 96, 128, 3), dtype=np.uint8)
+    kwargs = dict(num_aug=2, max_detections=4, detector_threshold=0.0,
+                  suppress_implausible_poses=True)
+    with mesh:
+        out_s = make(mesh).detect_poses_batched(images, **kwargs)
+    out_p = make(None).detect_poses_batched(images, **kwargs)
+    np.testing.assert_array_equal(np.asarray(out_s['valid']),
+                                  np.asarray(out_p['valid']))
+    valid = np.asarray(out_p['valid'])
+    np.testing.assert_allclose(
+        np.asarray(out_s['poses3d'])[valid],
+        np.asarray(out_p['poses3d'])[valid], rtol=1e-3, atol=0.5)
