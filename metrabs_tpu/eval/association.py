@@ -88,3 +88,117 @@ def associate_sequence(
             p3, p2, t2, prev, joint_info3d, joint_info2d)
         out.append(result)
     return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Mask-IoU association (`predict_tdpw.py:194-206,238-250`): when a frame has
+# segmentation-mask annotations instead of confident 2D keypoints, each
+# prediction is rasterized as a thick stick figure and matched to the
+# annotated person masks by Hungarian assignment over mask IoU. The reference
+# decodes COCO-RLE masks with the external rlemasklib; the equivalent decoder
+# below is first-party (the COCO RLE format is public and ~20 lines).
+
+
+def _decode_rle_counts(data: bytes) -> List[int]:
+    """Decodes the COCO compressed-RLE counts bytestring: 5-bit groups with
+    a continuation bit, offset by 48, runs delta-coded against counts[-2]."""
+    counts: List[int] = []
+    i = 0
+    while i < len(data):
+        x = 0
+        k = 0
+        while True:
+            c = data[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            i += 1
+            k += 1
+            if not c & 0x20:
+                if c & 0x10:
+                    x |= -1 << (5 * k)
+                break
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def decode_rle(rle) -> np.ndarray:
+    """Decodes a COCO RLE dict {'size': [h, w], 'counts': bytes|str|list}
+    to a [h, w] uint8 binary mask (column-major runs, starting with zeros).
+    Dense array input passes through unchanged."""
+    if isinstance(rle, np.ndarray):
+        return rle.astype(np.uint8)
+    h, w = rle['size']
+    counts = rle['counts']
+    if isinstance(counts, str):
+        counts = counts.encode('ascii')
+    if isinstance(counts, (bytes, bytearray)):
+        counts = _decode_rle_counts(bytes(counts))
+    flat = np.zeros(h * w, np.uint8)
+    pos = 0
+    val = 0
+    for run in counts:
+        flat[pos:pos + run] = val
+        pos += run
+        val = 1 - val
+    return flat.reshape((w, h)).T  # column-major layout
+
+
+def mask_iou(mask1: np.ndarray, mask2: np.ndarray) -> float:
+    """IoU of two binary masks (empty-union -> 0, not NaN)."""
+    m1 = mask1.astype(bool)
+    m2 = mask2.astype(bool)
+    union = np.count_nonzero(m1 | m2)
+    if union == 0:
+        return 0.0
+    return float(np.count_nonzero(m1 & m2) / union)
+
+
+def pose_to_mask(pose2d: np.ndarray, imshape, joint_info: JointInfo,
+                 thickness: int, thresh: float = 0.2) -> np.ndarray:
+    """Rasterizes a 2D pose as a thick stick figure into a [h, w] uint8 mask
+    (`predict_tdpw.py:238-250`). pose2d is [J, 2] or [J, 3] (x, y, conf);
+    with confidences, only edges whose both endpoints exceed `thresh` draw."""
+    import cv2
+    result = np.zeros(imshape[:2], dtype=np.uint8)
+    if pose2d.shape[1] == 3:
+        is_valid = pose2d[:, 2] > thresh
+    else:
+        is_valid = np.ones(pose2d.shape[0], dtype=bool)
+    for i1, i2 in joint_info.edges:
+        if is_valid[i1] and is_valid[i2]:
+            p1 = pose2d[i1, :2]
+            p2 = pose2d[i2, :2]
+            if not (np.all(np.isfinite(p1)) and np.all(np.isfinite(p2))):
+                continue
+            cv2.line(result, tuple(np.round(p1).astype(int)),
+                     tuple(np.round(p2).astype(int)), color=1,
+                     thickness=thickness)
+    return result
+
+
+def associate_predictions_to_masks(
+        poses3d_pred: np.ndarray, poses2d_pred: np.ndarray, frame_shape,
+        masks: Sequence, joint_info3d: JointInfo,
+        thickness: int = 8) -> np.ndarray:
+    """Hungarian assignment of predictions to annotated person masks by
+    stick-figure-vs-mask IoU (`predict_tdpw.py:194-206`). `masks` are COCO
+    RLE dicts or dense [h, w] binary arrays (possibly at a different
+    resolution than the frame; predictions are rescaled to mask space).
+    Returns poses3d ordered per mask [n_masks, J, 3], NaN where unmatched."""
+    masks = np.array([decode_rle(m) for m in masks])
+    mask_shape = masks.shape[1:3]
+    mask_size = np.array([mask_shape[1], mask_shape[0]], np.float32)
+    frame_size = np.array([frame_shape[1], frame_shape[0]], np.float32)
+    poses2d_pred = np.asarray(poses2d_pred) * mask_size / frame_size
+    pose_masks = np.array([
+        pose_to_mask(p, mask_shape, joint_info3d, thickness)
+        for p in poses2d_pred])
+    iou_matrix = np.array([[mask_iou(m1, m2) for m2 in pose_masks]
+                           for m1 in masks])
+    true_indices, pred_indices = scipy.optimize.linear_sum_assignment(
+        -iou_matrix)
+    result = np.full((len(masks), joint_info3d.n_joints, 3), np.nan)
+    for ti, pi in zip(true_indices, pred_indices):
+        result[ti] = poses3d_pred[pi]
+    return result

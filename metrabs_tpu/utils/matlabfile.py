@@ -19,6 +19,11 @@ def _cure(value: Any) -> Any:
     if isinstance(value, scipy.io.matlab.mat_struct):
         return {name: _cure(getattr(value, name)) for name in value._fieldnames}
     if isinstance(value, np.ndarray) and value.dtype == object:
-        return np.array([_cure(v) for v in value.ravel()],
-                        dtype=object).reshape(value.shape)
+        # Element-wise assignment: np.array(list_of_arrays, dtype=object)
+        # merges same-shaped element arrays into one rectangular array
+        # instead of keeping them as objects.
+        out = np.empty(value.shape, object)
+        for idx, v in np.ndenumerate(value):
+            out[idx] = _cure(v)
+        return out
     return value

@@ -1,0 +1,105 @@
+"""3DPW prediction driver test: fake dataset layout + stub estimator
+(`apps/predict_3dpw.py` mirrors `inference_scripts/predict_tdpw.py`)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from metrabs_tpu.apps import predict_3dpw
+from metrabs_tpu.eval.association import pose_to_mask
+from metrabs_tpu.pipeline.skeletons import SMPL_24
+
+N_FRAMES = 3
+H, W = 128, 160
+
+
+def make_pose2d(rng, center):
+    return (rng.normal(size=(24, 2)) * 12 + center).astype(np.float32)
+
+
+class StubEstimator:
+    """Returns two fixed detections per frame, in swapped track order."""
+
+    def __init__(self, pose_a, pose_b):
+        self.pose_a = pose_a
+        self.pose_b = pose_b
+        self.calls = []
+
+    def detect_poses_batched(self, images, **kwargs):
+        self.calls.append(kwargs)
+        b = len(images)
+        poses2d = np.stack([np.stack([self.pose_b, self.pose_a])] * b)
+        poses3d = np.concatenate([
+            np.full((b, 1, 24, 3), 2000.0, np.float32),
+            np.full((b, 1, 24, 3), 1000.0, np.float32)], axis=1)
+        return dict(
+            poses3d=poses3d, poses2d=poses2d,
+            boxes=np.zeros((b, 2, 5), np.float32),
+            valid=np.ones((b, 2), bool))
+
+
+@pytest.fixture
+def fake_3dpw(tmp_path, rng):
+    import cv2
+    root = tmp_path / '3dpw'
+    seq_dir = root / 'sequenceFiles' / 'test'
+    img_dir = root / 'imageFiles' / 'seqA'
+    masks_dir = tmp_path / 'stcn-pred'
+    for d in (seq_dir, img_dir, masks_dir):
+        os.makedirs(d)
+
+    pose_a = make_pose2d(rng, [45, 45])
+    pose_b = make_pose2d(rng, [110, 70])
+    # 3DPW raw layout: poses2d is [T, F, 3, J2] (COCO-18 with confidence).
+    poses2d_raw = rng.uniform(10, 100, size=(2, N_FRAMES, 3, 18)).astype(
+        np.float32)
+    seq = dict(poses2d=poses2d_raw,
+               cam_intrinsics=np.array(
+                   [[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]],
+                   np.float32))
+    with open(seq_dir / 'seqA.pkl', 'wb') as f:
+        pickle.dump(seq, f)
+    for i in range(N_FRAMES):
+        cv2.imwrite(str(img_dir / f'image_{i:05d}.jpg'),
+                    rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
+    # Per-frame per-track masks in (a, b) order, drawn from the true poses.
+    masks = [[pose_to_mask(p, (H, W), SMPL_24, thickness=8)
+              for p in (pose_a, pose_b)] for _ in range(N_FRAMES)]
+    with open(masks_dir / 'seqA.pkl', 'wb') as f:
+        pickle.dump(masks, f)
+    return root, masks_dir, pose_a, pose_b
+
+
+def test_predict_3dpw_mask_association(fake_3dpw, tmp_path, monkeypatch):
+    root, masks_dir, pose_a, pose_b = fake_3dpw
+    out_dir = tmp_path / 'preds'
+    stub = StubEstimator(pose_a, pose_b)
+    monkeypatch.setattr(
+        'metrabs_tpu.io.packaging.load_pose_estimator', lambda p: stub)
+    predict_3dpw.main([
+        '--package', 'stub', '--root', str(root),
+        '--output-path', str(out_dir), '--masks-dir', str(masks_dir),
+        '--real-intrinsics', '--num-aug', '2', '--batch-size', '2'])
+
+    with open(out_dir / 'test' / 'seqA.pkl', 'rb') as f:
+        result = pickle.load(f)
+    coords = result['jointPositions']
+    assert coords.shape == (2, N_FRAMES, 24, 3)
+    # Track 0 (mask of pose_a) must get the pose worth 1000mm -> 1.0m,
+    # despite the stub returning detections in swapped order.
+    np.testing.assert_allclose(coords[0], 1.0)
+    np.testing.assert_allclose(coords[1], 2.0)
+    # The driver passed the reference's detection kwargs.
+    kw = stub.calls[0]
+    assert kw['detector_threshold'] == 0.2
+    assert kw['suppress_implausible_poses'] is False
+    assert kw['skeleton'] == 'smpl_24'
+    assert kw['intrinsic_matrix'].shape == (2, 3, 3)
+    # Rerun skips completed sequences.
+    n_calls = len(stub.calls)
+    predict_3dpw.main([
+        '--package', 'stub', '--root', str(root),
+        '--output-path', str(out_dir), '--masks-dir', str(masks_dir)])
+    assert len(stub.calls) == n_calls
