@@ -73,17 +73,40 @@ def load_3dpw_examples(
     return examples
 
 
+def load_mupots_annotations(root: str, sequences=None) -> Iterator:
+    """Yields (i_seq, annotations[F, P] object array of per-person dicts)
+    for each sequence whose `TS{n}/annot.mat` exists — the single parsing
+    point shared by the example adapter and the evaluation CLI.
+
+    loadmat's squeeze_me collapses size-1 axes: a 0-d result is one frame of
+    one person, a 1-D result is interpreted frame-axis-first ([F] -> [F, 1],
+    the single-person long-sequence case; real MuPoTS sequences have
+    hundreds of frames, so a squeezed [1, P] cannot be distinguished but
+    does not occur)."""
+    for i_seq in (sequences or range(1, 21)):
+        annot_path = os.path.join(root, f'TS{i_seq}', 'annot.mat')
+        if not os.path.exists(annot_path):
+            continue
+        annotations = matlabfile.load(annot_path)['annotations']
+        if not isinstance(annotations, np.ndarray):
+            arr = np.empty((1, 1), object)
+            arr[0, 0] = annotations
+            annotations = arr
+        elif annotations.ndim == 0:
+            arr = np.empty((1, 1), object)
+            arr[0, 0] = annotations.item()
+            annotations = arr
+        elif annotations.ndim == 1:
+            annotations = annotations[:, None]
+        yield i_seq, annotations
+
+
 def load_mupots_examples(root: str) -> List[Example3D]:
     """MuPoTS-3D: per-sequence `annot.mat` with annot[frame][person]
     (annot3/univ_annot3 in mm camera space, annot2 pixels, isValidFrame)."""
     examples = []
-    for i_seq in range(1, 21):
+    for i_seq, annotations in load_mupots_annotations(root):
         seq_dir = os.path.join(root, f'TS{i_seq}')
-        annot_path = os.path.join(seq_dir, 'annot.mat')
-        if not os.path.exists(annot_path):
-            continue
-        data = matlabfile.load(annot_path)
-        annotations = np.atleast_2d(data['annotations'])
         # MuPoTS test intrinsics (published camera calibrations).
         K = np.array([[1500.9799, 0, 1024.704],
                       [0, 1500.9633, 1051.3849], [0, 0, 1]], np.float32) \

@@ -160,7 +160,7 @@ def save_predictions_npz(path: str, preds: Dict[str, np.ndarray]) -> None:
 
 def matched_pose_metrics(
         preds_per_frame, gts_per_frame, threshold_mm: float = 150.0,
-        match_threshold_mm: float = 500.0):
+        match_threshold_mm: float = 500.0, root_index=None, eval_joints=None):
     """Multi-person matched metrics (the MuPoTS-style protocol): per frame,
     Hungarian-match predictions to GT poses by root-relative MPJPE, then
     report PCK over MATCHED joints plus detection recall. Unmatched GT poses
@@ -168,34 +168,55 @@ def matched_pose_metrics(
     evaluation's treatment of undetected people.
 
     preds/gts: lists (frames) of [n_i, J, 3] arrays in a common frame.
+    root_index: joint used for root alignment (the official MuPoTS protocol
+    aligns at the pelvis); None mean-centers instead. eval_joints: indices
+    scored by PCK (the official 14-joint subset); None scores all J —
+    alignment always uses the FULL pose so the root joint may be outside
+    the scored subset. Returns matched_pck (root-relative PCK@threshold,
+    the MuPoTS "PCK" column), matched_apck (absolute camera-space PCK, the
+    "APCK" column — no root alignment, so detection depth errors count),
+    and recall.
     """
     import scipy.optimize
 
+    sel = slice(None) if eval_joints is None else np.asarray(eval_joints)
+
+    def rootrel(p):
+        if root_index is None:
+            return p - p.mean(axis=-2, keepdims=True)
+        return p - p[..., root_index:root_index + 1, :]
+
+    def n_scored(pose):
+        return pose[sel].shape[0]
+
     n_correct = 0
+    n_correct_abs = 0
     n_total = 0
     n_matched = 0
     n_gt = 0
     for preds, gts in zip(preds_per_frame, gts_per_frame):
         n_gt += len(gts)
-        n_total += int(np.prod(np.shape(gts)[:2])) if len(gts) else 0
+        n_total += sum(n_scored(g) for g in gts)
         if len(gts) == 0:
             continue
         if len(preds) == 0:
             continue
-        def rootrel(p):
-            return p - p.mean(axis=-2, keepdims=True)
         cost = np.zeros((len(gts), len(preds)))
         for i, g in enumerate(gts):
             for j, q in enumerate(preds):
                 cost[i, j] = np.linalg.norm(
-                    rootrel(g) - rootrel(q), axis=-1).mean()
+                    rootrel(g)[sel] - rootrel(q)[sel], axis=-1).mean()
         gi, pj = scipy.optimize.linear_sum_assignment(cost)
         for i, j in zip(gi, pj):
             if cost[i, j] > match_threshold_mm:
                 continue
             n_matched += 1
-            dist = np.linalg.norm(rootrel(gts[i]) - rootrel(preds[j]), axis=-1)
+            dist = np.linalg.norm(
+                rootrel(gts[i])[sel] - rootrel(preds[j])[sel], axis=-1)
             n_correct += int((dist <= threshold_mm).sum())
+            dist_abs = np.linalg.norm(gts[i][sel] - preds[j][sel], axis=-1)
+            n_correct_abs += int((dist_abs <= threshold_mm).sum())
     return dict(
         matched_pck=n_correct / max(n_total, 1),
+        matched_apck=n_correct_abs / max(n_total, 1),
         recall=n_matched / max(n_gt, 1))

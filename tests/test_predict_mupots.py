@@ -67,3 +67,73 @@ def test_predict_mupots(tmp_path, rng, monkeypatch):
     assert kw['detector_threshold'] == 0.2
     assert kw['suppress_implausible_poses'] is False
     assert kw['intrinsic_matrix'].shape == (2, 3, 3)
+
+
+def test_eval_mupots(tmp_path, rng):
+    import scipy.io
+
+    from metrabs_tpu.apps import eval_mupots
+
+    root = tmp_path / 'mupots'
+    os.makedirs(root / 'TS1')
+    n_frames = 2
+    gt_poses = rng.normal(size=(n_frames, 17, 3)).astype(np.float32) * 200 \
+        + np.array([0, 0, 3000], np.float32)
+    ann = np.empty((n_frames, 1), object)
+    for i in range(n_frames):
+        ann[i, 0] = {'annot3': gt_poses[i].T, 'isValidFrame': 1}
+    scipy.io.savemat(str(root / 'TS1' / 'annot.mat'), {'annotations': ann})
+
+    # Perfect root-relative predictions, 400mm depth offset -> PCK perfect,
+    # APCK zero (every joint off by 400 > 150), recall 1.
+    preds = gt_poses + np.array([0, 0, 400], np.float32)
+    pred_path = tmp_path / 'preds.npz'
+    np.savez(pred_path,
+             image_path=np.array([f'mupots/TS1/img_{i:06d}.jpg'
+                                  for i in range(n_frames)]),
+             coords3d_pred_world=preds)
+    out = eval_mupots.main(['--pred-path', str(pred_path),
+                            '--root', str(root)])
+    assert out['pck'] == 100.0
+    assert out['apck'] == 0.0
+    assert out['recall'] == 100.0
+
+    # Exact predictions -> all three perfect.
+    np.savez(pred_path,
+             image_path=np.array([f'mupots/TS1/img_{i:06d}.jpg'
+                                  for i in range(n_frames)]),
+             coords3d_pred_world=gt_poses)
+    out = eval_mupots.main(['--pred-path', str(pred_path),
+                            '--root', str(root)])
+    assert out['pck'] == 100.0
+    assert out['apck'] == 100.0
+
+
+def test_eval_mupots_pelvis_root_alignment(tmp_path, rng):
+    """Official protocol: alignment at the pelvis (index 14), not the mean.
+    A prediction whose ONLY error is a 400mm pelvis offset scores pck 0
+    under root alignment (every scored joint shifts by the root error),
+    while mean-centering would dilute the offset to ~24mm and score 100."""
+    import scipy.io
+
+    from metrabs_tpu.apps import eval_mupots
+
+    root = tmp_path / 'mupots'
+    os.makedirs(root / 'TS1')
+    gt = rng.normal(size=(1, 17, 3)).astype(np.float32) * 200 \
+        + np.array([0, 0, 3000], np.float32)
+    ann = np.empty((1, 1), object)
+    ann[0, 0] = {'annot3': gt[0].T, 'isValidFrame': 1}
+    scipy.io.savemat(str(root / 'TS1' / 'annot.mat'), {'annotations': ann})
+
+    preds = gt.copy()
+    preds[0, 14] += np.array([0, 0, 400], np.float32)  # pelvis only
+    pred_path = tmp_path / 'preds.npz'
+    np.savez(pred_path,
+             image_path=np.array(['mupots/TS1/img_000000.jpg']),
+             coords3d_pred_world=preds)
+    out = eval_mupots.main(['--pred-path', str(pred_path),
+                            '--root', str(root)])
+    assert out['pck'] == 0.0
+    assert out['apck'] == 100.0  # absolute positions of scored joints exact
+    assert out['recall'] == 100.0
