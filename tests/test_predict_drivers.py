@@ -187,3 +187,37 @@ def test_predict_aspset(tmp_path, rng, stub):
     result = np.load(out_dir / f'{subj}-{vid}-{view}.npz')
     assert result['coords3d_pred_world'].shape == (n_frames, 17, 3)
     assert stub.estimate_calls[0]['skeleton'] == 'aspset_17'
+
+
+def test_eval_3dhp(tmp_path, rng):
+    import h5py
+
+    from metrabs_tpu.apps import eval_3dhp
+
+    root = tmp_path / '3dhp'
+    n_frames = 4
+    gt = rng.normal(size=(n_frames, 17, 3)).astype(np.float32) * 200 \
+        + np.array([0, 0, 3500], np.float32)
+    os.makedirs(root / 'TS1')
+    valid = np.ones((n_frames, 1))
+    valid[1, 0] = 0
+    with h5py.File(root / 'TS1' / 'annot_data.mat', 'w') as m:
+        m.create_dataset('valid_frame', data=valid)
+        m.create_dataset('annot3', data=gt[:, None])  # [F, 1, 17, 3]
+
+    # Predictions for valid frames 0, 2 exact (+ uniform offset that cancels
+    # under pelvis alignment); frame 3 missing -> counted as all-wrong.
+    paths, poses = [], []
+    for i in (0, 2):
+        paths.append(f'TS1/imageSequence/img_{i + 1:06d}.jpg')
+        poses.append(gt[i] + np.array([100, 0, 0], np.float32))
+    pred_path = tmp_path / '3dhp.npz'
+    np.savez(pred_path, image_path=np.array(paths),
+             coords3d_pred_world=np.stack(poses))
+    out = eval_3dhp.main(['--pred-path', str(pred_path),
+                          '--root', str(root)])
+    # 3 valid frames, 2 perfect, 1 missed: PCK = 2/3.
+    assert abs(out['pck'] - 100 * 2 / 3) < 1e-6
+    assert out['n_frames'] == 3
+    assert out['mpjpe'] < 1e-3
+    assert abs(out['per_seq_pck']['TS1'] - 100 * 2 / 3) < 1e-6
