@@ -60,7 +60,7 @@ def complete_track(track, n_frames):
 
 
 def predict_sequence(estimator, frame_paths, poses2d_true, masks, ji2d, ji3d,
-                     *, intrinsic_matrix, args):
+                     *, intrinsic_matrix, args, seq_name=''):
     import numpy as np
 
     from metrabs_tpu.data.improc import imread
@@ -93,6 +93,13 @@ def predict_sequence(estimator, frame_paths, poses2d_true, masks, ji2d, ji3d,
         for k in range(len(images)):
             p3 = poses3d_all[k][valid[k]]
             p2 = poses2d_all[k][valid[k]]
+            if args.viz_dir and (i_frame % args.viz_step == 0):
+                from metrabs_tpu.utils.viz import plot_poses_3d
+                os.makedirs(args.viz_dir, exist_ok=True)
+                plot_poses_3d(
+                    p3, ji3d.edges, image=images[k], poses2d=p2,
+                    out_path=osp.join(
+                        args.viz_dir, f'{seq_name}_{i_frame:05d}.jpg'))
             if masks is None:
                 ordered, prev2d = associate_predictions(
                     p3, p2, poses2d_true[i_frame], prev2d, ji3d, ji2d)
@@ -125,6 +132,10 @@ def main(argv=None):
     parser.add_argument('--antialias-factor', type=int, default=2)
     parser.add_argument('--max-detections', type=int, default=16)
     parser.add_argument('--io-threads', type=int, default=8)
+    parser.add_argument('--viz-dir', default=None,
+                        help='save 2D+3D overlay figures here (the '
+                             "reference's --viz spot-check role)")
+    parser.add_argument('--viz-step', type=int, default=50)
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -165,7 +176,7 @@ def main(argv=None):
         print(f'predicting {seq_name} ({len(frame_paths)} frames)...')
         tracks = predict_sequence(
             estimator, frame_paths, poses2d_true, masks, ji2d, ji3d,
-            intrinsic_matrix=intr, args=args)
+            intrinsic_matrix=intr, args=args, seq_name=seq_name)
         coords3d = np.array([
             complete_track(t, len(frame_paths)) if t
             else np.full((len(frame_paths), ji3d.n_joints, 3), np.nan)

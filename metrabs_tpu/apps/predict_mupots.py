@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument('--sequences', type=int, nargs='*', default=None,
                         help='subset of 1..20 (default all)')
     parser.add_argument('--io-threads', type=int, default=8)
+    parser.add_argument('--viz-dir', default=None,
+                        help='save 2D+3D overlay figures here (the '
+                             "reference's --viz spot-check role)")
+    parser.add_argument('--viz-step', type=int, default=50)
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -70,7 +74,21 @@ def main(argv=None):
                 world_up_vector=(0, -1, 0))
             valid = np.asarray(pred['valid'])
             poses3d = np.asarray(pred['poses3d'])
+            poses2d = np.asarray(pred['poses2d'])
             for k, relpath in enumerate(chunk):
+                i_frame = start + k
+                if args.viz_dir and (i_frame % args.viz_step == 0):
+                    import os
+
+                    from metrabs_tpu.pipeline.skeletons import \
+                        MPI_INF_3DHP_17
+                    from metrabs_tpu.utils.viz import plot_poses_3d
+                    os.makedirs(args.viz_dir, exist_ok=True)
+                    plot_poses_3d(
+                        poses3d[k][valid[k]], MPI_INF_3DHP_17.edges,
+                        image=images[k], poses2d=poses2d[k][valid[k]],
+                        out_path=osp.join(
+                            args.viz_dir, f'TS{i_seq}_{i_frame:05d}.jpg'))
                 for pose in poses3d[k][valid[k]]:
                     image_relpaths_all.append(f'mupots/{relpath}')
                     poses_all.append(pose)

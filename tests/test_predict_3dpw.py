@@ -78,10 +78,14 @@ def test_predict_3dpw_mask_association(fake_3dpw, tmp_path, monkeypatch):
     stub = StubEstimator(pose_a, pose_b)
     monkeypatch.setattr(
         'metrabs_tpu.io.packaging.load_pose_estimator', lambda p: stub)
+    viz_dir = tmp_path / 'viz'
     predict_3dpw.main([
         '--package', 'stub', '--root', str(root),
         '--output-path', str(out_dir), '--masks-dir', str(masks_dir),
-        '--real-intrinsics', '--num-aug', '2', '--batch-size', '2'])
+        '--real-intrinsics', '--num-aug', '2', '--batch-size', '2',
+        '--viz-dir', str(viz_dir), '--viz-step', '2'])
+    assert (viz_dir / 'seqA_00000.jpg').exists()
+    assert (viz_dir / 'seqA_00002.jpg').exists()
 
     with open(out_dir / 'test' / 'seqA.pkl', 'rb') as f:
         result = pickle.load(f)
