@@ -34,7 +34,7 @@ def main(argv=None):
 
     from metrabs_tpu.eval.harness import (
         BENCHMARK_PROTOCOLS, evaluate_predictions, predict_dataset,
-        save_predictions_npz)
+        save_predictions)
     from metrabs_tpu.io.packaging import load_pose_estimator
 
     estimator = load_pose_estimator(args.package)
@@ -51,7 +51,7 @@ def main(argv=None):
         batch_size=args.batch_size, n_workers=args.workers,
         test_time_mirror_aug=args.mirror_aug)
     if args.pred_out:
-        save_predictions_npz(args.pred_out, preds)
+        save_predictions(args.pred_out, preds)
 
     metrics = evaluate_predictions(
         preds, joint_info=estimator.joint_info,

@@ -158,6 +158,30 @@ def save_predictions_npz(path: str, preds: Dict[str, np.ndarray]) -> None:
     np.savez_compressed(path, **preds)
 
 
+def save_predictions_hdf5(path: str, preds: Dict[str, np.ndarray]) -> None:
+    """HDF5 prediction dump (the fleras StorePredictionsAsHDF5 analogue,
+    reference `main.py:475-478`); string arrays stored as variable-length
+    UTF-8."""
+    import h5py
+    with h5py.File(path, 'w') as f:
+        for key, value in preds.items():
+            value = np.asarray(value)
+            if value.dtype.kind in ('U', 'O'):
+                f.create_dataset(
+                    key, data=value.astype(object),
+                    dtype=h5py.string_dtype(encoding='utf-8'))
+            else:
+                f.create_dataset(key, data=value, compression='gzip')
+
+
+def save_predictions(path: str, preds: Dict[str, np.ndarray]) -> None:
+    """Dispatches on extension: .h5/.hdf5 -> HDF5, otherwise NPZ."""
+    if path.endswith(('.h5', '.hdf5')):
+        save_predictions_hdf5(path, preds)
+    else:
+        save_predictions_npz(path, preds)
+
+
 def matched_pose_metrics(
         preds_per_frame, gts_per_frame, threshold_mm: float = 150.0,
         match_threshold_mm: float = 500.0, root_index=None, eval_joints=None):

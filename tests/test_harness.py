@@ -95,3 +95,20 @@ def test_oracle_model_gets_zero_error(rng):
     metrics = evaluate_predictions(preds, joint_info=H36M_17)
     assert metrics['mean_error'] < 1e-2, metrics['mean_error']
     assert metrics['mean_pck'] == 1.0
+
+
+def test_save_predictions_hdf5_roundtrip(tmp_path):
+    import h5py
+
+    from metrabs_tpu.eval.harness import save_predictions
+
+    preds = dict(
+        poses3d_pred_cam=np.arange(24, dtype=np.float32).reshape(2, 4, 3),
+        image_path=np.array(['a/b.jpg', 'c/d.jpg']))
+    path = str(tmp_path / 'preds.h5')
+    save_predictions(path, preds)
+    with h5py.File(path, 'r') as f:
+        np.testing.assert_array_equal(
+            f['poses3d_pred_cam'][:], preds['poses3d_pred_cam'])
+        assert [s.decode() for s in f['image_path'][:]] == \
+            ['a/b.jpg', 'c/d.jpg']
