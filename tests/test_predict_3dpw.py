@@ -107,3 +107,48 @@ def test_predict_3dpw_mask_association(fake_3dpw, tmp_path, monkeypatch):
         '--package', 'stub', '--root', str(root),
         '--output-path', str(out_dir), '--masks-dir', str(masks_dir)])
     assert len(stub.calls) == n_calls
+
+
+def test_predict_3dpw_with_real_estimator(fake_3dpw, tmp_path, monkeypatch):
+    """Drives the driver through a REAL (tiny) PoseEstimator on CPU — the
+    stub tests accept **kwargs and would hide kwarg-name drift between the
+    drivers and the PoseEstimator API."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4Tiny
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+
+    cfg = ModelConfig(proc_side=64, stride_train=32, stride_test=32, depth=4,
+                      n_joints=24, dtype='float32')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=16,
+                                                   dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.eye(3)[None])
+
+    def crop_model_fn(crops, intrinsics, valid):
+        return model.apply(params, crops, intrinsics, train=False,
+                           sample_valid=valid)
+
+    det_model = YOLOv4Tiny(num_classes=80, dtype=jnp.float32)
+    det_vars = det_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 96, 96, 3)), train=False)
+    est = PoseEstimator(
+        crop_model_fn, SMPL_24, cfg,
+        detector=PersonDetector(det_model, det_vars, input_size=96,
+                                top_candidates=32))
+    monkeypatch.setattr(
+        'metrabs_tpu.io.packaging.load_pose_estimator', lambda p: est)
+
+    root, masks_dir, _, _ = fake_3dpw
+    out_dir = tmp_path / 'preds_real'
+    predict_3dpw.main([
+        '--package', 'real', '--root', str(root),
+        '--output-path', str(out_dir), '--masks-dir', str(masks_dir),
+        '--num-aug', '1', '--batch-size', '2', '--max-detections', '4'])
+    with open(out_dir / 'test' / 'seqA.pkl', 'rb') as f:
+        coords = pickle.load(f)['jointPositions']
+    assert coords.shape == (2, N_FRAMES, 24, 3)
