@@ -35,7 +35,8 @@ def save_pose_estimator_package(
         detector_dtype: str = 'bfloat16',
         skeleton_registry: Optional[SkeletonRegistry] = None,
         bone_mean_lengths: Optional[np.ndarray] = None,
-        joint_transform_matrix: Optional[np.ndarray] = None) -> None:
+        joint_transform_matrix: Optional[np.ndarray] = None,
+        latent_mode: str = '', n_latents: int = 0) -> None:
     os.makedirs(directory, exist_ok=True)
     export_model_msgpack(
         os.path.join(directory, 'crop_model.msgpack'), crop_model_variables)
@@ -66,6 +67,10 @@ def save_pose_estimator_package(
         detector_type=detector_type,
         detector_dtype=detector_dtype,
         has_joint_transform=joint_transform_matrix is not None,
+        # Latent-joint fields live on the Metrabs MODULE (not ModelConfig),
+        # so they must be recorded explicitly for the round trip.
+        latent_mode=latent_mode,
+        n_latents=n_latents,
         bone_mean_lengths=(
             [float(x) for x in bone_mean_lengths]
             if bone_mean_lengths is not None else None),
@@ -94,7 +99,9 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks,
         stride_test=(cfg.stride_test
                      if cfg.stride_test != cfg.stride_train else None))
-    model = Metrabs(cfg=cfg, backbone=backbone)
+    model = Metrabs(cfg=cfg, backbone=backbone,
+                    latent_mode=manifest.get('latent_mode', ''),
+                    n_latents=manifest.get('n_latents', 0))
 
     def crop_model_fn(state, crops, intrinsics, sample_valid):
         # state as argument, not closure: keeps weights out of the HLO.

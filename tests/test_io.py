@@ -159,3 +159,47 @@ def test_package_save_load_run_roundtrip(tmp_path, rng):
 def dataclasses_replace_input_size(det, size):
     import dataclasses as _dc
     return _dc.replace(det, input_size=size)
+
+
+def test_package_roundtrip_latent_mode(tmp_path, rng):
+    """Latent-joint models must round-trip: latent_mode/n_latents live on the
+    Metrabs module (not ModelConfig), so the manifest records them explicitly.
+    Regression for a bug where load_pose_estimator rebuilt with latent_mode=''
+    and the saved head kernel (sized for n_latents) no longer matched."""
+    from metrabs_tpu.config import AugConfig, ModelConfig
+    from metrabs_tpu.io.packaging import (
+        load_pose_estimator, save_pose_estimator_package)
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    n_latents = 8
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32',
+                      backbone='tiny', warp_backend='gather')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=8, dtype=jnp.float32),
+                    latent_mode='transform_coords', n_latents=n_latents)
+    crop_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.eye(3)[None])
+    # Non-zero decode weights so a dropped latent config would show up as a
+    # shape error rather than a silent zero output.
+    crop_vars = jax.tree_util.tree_map(np.asarray, crop_vars)
+    crop_vars['constants']['recombination_weights'] = (
+        rng.normal(size=(n_latents, 17)).astype(np.float32))
+    joint_info = JointInfo(names=tuple(H36M_17.names),
+                           edges=tuple(H36M_17.edges))
+    d = str(tmp_path / 'pkg_latent')
+    save_pose_estimator_package(
+        d, cfg=cfg, aug_cfg=AugConfig(), crop_model_variables=crop_vars,
+        joint_info=joint_info, latent_mode='transform_coords',
+        n_latents=n_latents)
+
+    def tiny_builder(name, **kwargs):
+        return TinyBackbone(width=8, dtype=jnp.float32)
+
+    est = load_pose_estimator(d, backbone_builder=tiny_builder)
+    img = rng.integers(0, 255, size=(80, 100, 3), dtype=np.uint8)
+    boxes = np.array([[10, 10, 60, 60]], np.float32)
+    out = est.estimate_poses(img, boxes, num_aug=1)
+    assert np.asarray(out['poses3d']).shape == (1, 17, 3)
+    assert np.all(np.isfinite(np.asarray(out['poses3d'])))
