@@ -65,6 +65,12 @@ def parse_args(argv=None):
                    help='multi-host: jax.distributed.initialize() from the '
                         'TPU pod environment; batch sizes are GLOBAL and '
                         'each process loads its local shard')
+    # Latent-joint / manifold fine-tuning (`init.py:235-251`): all three
+    # modes need --affine-weights (npz with w1 [J,L] encode, w2 [L,J] decode).
+    p.add_argument('--affine-weights', default=None)
+    p.add_argument('--transform-coords', action='store_true')
+    p.add_argument('--predict-all-and-latents', action='store_true')
+    p.add_argument('--regularize-to-manifold', action='store_true')
     return p.parse_args(argv)
 
 
@@ -108,7 +114,26 @@ def main(argv=None):
         ema_momentum=args.ema_momentum, dual_finetune_lr=args.dual_finetune_lr,
         ghost_bn_splits=(args.ghost_bn_splits,), seed=args.seed,
         finetune_in_inference_mode=args.finetune_in_inference_mode,
-        optimizer_mu_dtype=args.optimizer_mu_dtype)
+        optimizer_mu_dtype=args.optimizer_mu_dtype,
+        transform_coords=args.transform_coords,
+        predict_all_and_latents=args.predict_all_and_latents,
+        regularize_to_manifold=args.regularize_to_manifold)
+
+    affine_weights = None
+    latent_mode = ''
+    if args.transform_coords:
+        latent_mode = 'transform_coords'
+    elif args.predict_all_and_latents:
+        latent_mode = 'predict_all_and_latents'
+    if latent_mode or args.regularize_to_manifold:
+        if not args.affine_weights:
+            raise SystemExit('--affine-weights is required for latent/'
+                             'manifold modes (`init.py:225-235`)')
+        from metrabs_tpu.train.loop import load_affine_weights
+        affine_weights = load_affine_weights(args.affine_weights)
+        n_latents = affine_weights['recombination_weights'].shape[0]
+    else:
+        n_latents = 0
 
     # Joint sets: 3D = model joints (H36M-17 built-in; packaged sets via
     # skeleton registry), 2D = LSP-14-compatible weak annotations.
@@ -164,12 +189,14 @@ def main(argv=None):
         cfg.backbone, ghost_splits=args.ghost_bn_splits,
         dtype=jnp.dtype(cfg.dtype), remat=cfg.backbone_remat,
         stride_test=(cfg.stride_test
-                     if cfg.stride_test != cfg.stride_train else None)))
+                     if cfg.stride_test != cfg.stride_train else None)),
+        latent_mode=latent_mode, n_latents=n_latents)
     tx = optim.build_optimizer(tcfg)
     state = loop_mod.create_train_state(
         model, tx, jax.random.PRNGKey(args.seed), cfg)
     step_fn = loop_mod.make_train_step(
-        model, tx, joint_info3d, joint_info2d, cfg, tcfg)
+        model, tx, joint_info3d, joint_info2d, cfg, tcfg,
+        affine_weights=affine_weights)
     mesh = mesh_mod.make_mesh()
     sharded_step = loop_mod.make_sharded_train_step(step_fn, mesh)
     # Final-phase step with BN frozen in inference mode
@@ -179,7 +206,7 @@ def main(argv=None):
         sharded_step_inf = loop_mod.make_sharded_train_step(
             loop_mod.make_train_step(
                 model, tx, joint_info3d, joint_info2d, cfg, tcfg,
-                bn_inference=True), mesh)
+                bn_inference=True, affine_weights=affine_weights), mesh)
 
     # Checkpoint restore (precedence: load_path > latest > init_path).
     manager = ckpt_mod.make_checkpoint_manager(
@@ -257,13 +284,20 @@ def main(argv=None):
                      if tcfg.ema_momentum < 1 else state.params}
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
+        if latent_mode:
+            # The deployed model decodes latent points with the AE weights
+            # (Metrabs 'constants' collection).
+            variables['constants'] = dict(
+                recombination_weights=affine_weights['recombination_weights'],
+                encoder_weights=affine_weights['encoder_weights'])
         # Parameters are replicated across the mesh, so process 0 holds a
         # complete copy and exports alone.
         if jax.process_index() == 0:
             save_pose_estimator_package(
                 args.export_dir, cfg=cfg, aug_cfg=AugConfig(),
                 crop_model_variables=variables, joint_info=joint_info3d,
-                skeleton_registry=SkeletonRegistry(joint_info3d))
+                skeleton_registry=SkeletonRegistry(joint_info3d),
+                latent_mode=latent_mode, n_latents=n_latents)
             print(f'exported package to {args.export_dir}')
 
 

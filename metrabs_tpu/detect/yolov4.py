@@ -460,11 +460,17 @@ class PersonDetector:
             sel_scores, sel = jax.lax.top_k(score_masked, max_detections)
             sel_boxes = b[sel]
             ok = jnp.isfinite(sel_scores)
-            # center-format -> (x, y, w, h) top-left format, unpad + unscale
-            x = (sel_boxes[:, 0] - sel_boxes[:, 2] / 2 - wp) / factor
-            y = (sel_boxes[:, 1] - sel_boxes[:, 3] / 2 - hp) / factor
-            w = sel_boxes[:, 2] / factor
-            h = sel_boxes[:, 3] / factor
+            # center-format -> (x, y, w, h) top-left format, unpad + unscale.
+            # Per-axis factors (`person_detector.py:39-40`): target_h/w are
+            # truncated ints, so the resized content spans orig/target pixels
+            # per axis — a single 1/factor skews the short axis by up to
+            # ~max_side/input_size px at the far edge.
+            x_factor = orig_w / target_w
+            y_factor = orig_h / target_h
+            x = (sel_boxes[:, 0] - sel_boxes[:, 2] / 2 - wp) * x_factor
+            y = (sel_boxes[:, 1] - sel_boxes[:, 3] / 2 - hp) * y_factor
+            w = sel_boxes[:, 2] * x_factor
+            h = sel_boxes[:, 3] * y_factor
             out = jnp.stack([x, y, w, h, jnp.where(ok, sel_scores, 0.0)], axis=1)
             return jnp.where(ok[:, None], out, 0.0), ok
 
@@ -491,29 +497,16 @@ class PersonDetector:
 def yolo_flat_to_scanned(flat_variables: dict, scanned_template: dict) -> dict:
     """Restructures flat-layout YOLOv4 variables (darknet import target) into
     the scan_repeats layout: each `res_scan_<start>_<n>` group stacks
-    conv_{start+2k} -> conv_a and conv_{start+2k+1} -> conv_b."""
-    import re
+    conv_{start+2k} -> conv_a and conv_{start+2k+1} -> conv_b. Shares the
+    walk/stack/validate kernel with the backbone converter."""
+    from metrabs_tpu.io.scan_convert import stack_scan_groups
 
-    import flax
+    def source_key(collection, start, i, rest):
+        offset = {'conv_a': 0, 'conv_b': 1}[rest[0]]
+        return (collection, f'conv_{start + 2 * i + offset}') + rest[1:]
 
-    flat_src = flax.traverse_util.flatten_dict(flat_variables)
-    flat_dst = dict(flax.traverse_util.flatten_dict(scanned_template))
-    for key in list(flat_dst):
-        collection, module = key[0], key[1]
-        m = re.match(r'res_scan_(\d+)_(\d+)$', module)
-        if m:
-            start, n = int(m.group(1)), int(m.group(2))
-            which, rest = key[2], key[3:]
-            offset = 0 if which == 'conv_a' else 1
-            stacked = np.stack([
-                np.asarray(flat_src[(collection, f'conv_{start + 2 * k + offset}')
-                                    + rest])
-                for k in range(n)])
-            flat_dst[key] = jnp.asarray(
-                stacked, np.asarray(flat_dst[key]).dtype)
-        elif key in flat_src:
-            flat_dst[key] = flat_src[key]
-    return flax.traverse_util.unflatten_dict(flat_dst)
+    return stack_scan_groups(flat_variables, scanned_template,
+                             r'res_scan_(\d+)_(\d+)$', source_key)
 
 
 def load_darknet_weights(model: YOLOv4, variables: dict, path: str) -> dict:

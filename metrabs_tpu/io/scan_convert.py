@@ -1,65 +1,78 @@
-"""Convert flat EfficientNetV2 variable trees to the nn.scan-stacked layout.
+"""Convert flat variable trees to nn.scan-stacked layouts.
 
-Weight import (`io/weights_import.py`) fills the flat `blocks_{i}` layout;
-inference/training wants the scanned layout (`blocks_{i}_scan{n}` groups with
-leading stacked axes) for fast XLA compiles. This converter stacks the flat
-per-block subtrees into the scanned groups, so imported reference weights run
-with scan_blocks=True.
+Weight import (`io/weights_import.py`, `detect/yolov4.load_darknet_weights`)
+fills flat per-layer layouts; inference/training wants the scanned layouts
+(groups with leading stacked axes) for fast XLA compiles. `stack_scan_groups`
+is the shared kernel: it walks the scanned template, stacks per-step flat
+subtrees, and validates dtypes/shapes. The per-model wrappers only supply the
+group-name pattern and the step -> flat-module mapping.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Callable, Dict, Tuple
 
-import jax
 import numpy as np
 
 
-def flat_to_scanned(flat_variables: Dict, scanned_template: Dict) -> Dict:
-    """Restructures a flat-layout variable tree into the scanned layout.
+def stack_scan_groups(
+        flat_variables: Dict, scanned_template: Dict, group_pattern: str,
+        source_key: Callable[[str, int, int, Tuple], Tuple]) -> Dict:
+    """Restructures a flat-layout variable tree into a scanned layout.
 
-    `scanned_template` is a variable tree of the scan_blocks=True model (e.g.
-    from jitted init) providing the target structure; its values are replaced
-    by (stacked) values from `flat_variables`. Non-block entries are copied
-    through by name. Works on full variable dicts (params + batch_stats +
-    anything else keyed the same way).
+    `scanned_template` is a variable tree of the scanned model (e.g. from
+    jitted init) providing the target structure; its values are replaced by
+    (stacked) values from `flat_variables`. A module name (second key level)
+    matching `group_pattern` — regex groups (start, n) — is a scan group:
+    for each step i in [0, n), `source_key(collection, start, i, rest)`
+    names the flat key whose value becomes slice i of the stacked array.
+    Non-group entries are copied through by name; template values are kept
+    for keys absent from the source (e.g. head params in a backbone-only
+    import). Works on full variable dicts (params + batch_stats + anything
+    else keyed the same way).
     """
     import flax
 
     flat_src = flax.traverse_util.flatten_dict(flat_variables)
     flat_dst = dict(flax.traverse_util.flatten_dict(scanned_template))
+    pattern = re.compile(group_pattern)
 
-    def src_value(collection: str, block_idx: int, rest):
-        key = (collection, f'blocks_{block_idx}') + rest
+    def src_value(key):
         if key not in flat_src:
             raise KeyError(f'Missing {key} in flat variables')
         return np.asarray(flat_src[key])
 
     for key in list(flat_dst):
         collection, module = key[0], key[1]
-        m = re.match(r'blocks_(\d+)_scan(\d+)$', module)
+        m = pattern.match(module)
         if m:
             start, n = int(m.group(1)), int(m.group(2))
-            # Scanned group subtree: key[2] == 'block', rest is the param path.
-            rest = key[2:]
-            assert rest[0] == 'block', key
             stacked = np.stack([
-                src_value(collection, start + i, rest[1:]) for i in range(n)])
+                src_value(source_key(collection, start, i, key[2:]))
+                for i in range(n)])
             if stacked.shape != flat_dst[key].shape:
                 raise ValueError(
                     f'Stacked shape {stacked.shape} != template '
                     f'{flat_dst[key].shape} at {key}')
             flat_dst[key] = stacked.astype(np.asarray(flat_dst[key]).dtype)
-        else:
-            src_key = key
-            if src_key in flat_src:
-                value = np.asarray(flat_src[src_key])
-                if value.shape != flat_dst[key].shape:
-                    raise ValueError(
-                        f'Shape mismatch at {key}: {value.shape} vs '
-                        f'{flat_dst[key].shape}')
-                flat_dst[key] = value.astype(np.asarray(flat_dst[key]).dtype)
-            # else: keep template value (e.g. head params absent from a
-            # backbone-only import).
+        elif key in flat_src:
+            value = np.asarray(flat_src[key])
+            if value.shape != flat_dst[key].shape:
+                raise ValueError(
+                    f'Shape mismatch at {key}: {value.shape} vs '
+                    f'{flat_dst[key].shape}')
+            flat_dst[key] = value.astype(np.asarray(flat_dst[key]).dtype)
     return flax.traverse_util.unflatten_dict(flat_dst)
+
+
+def flat_to_scanned(flat_variables: Dict, scanned_template: Dict) -> Dict:
+    """Backbone layout: `blocks_{start}_scan{n}/block/...` groups stack the
+    flat `blocks_{start+i}/...` subtrees."""
+
+    def source_key(collection, start, i, rest):
+        assert rest[0] == 'block', rest
+        return (collection, f'blocks_{start + i}') + rest[1:]
+
+    return stack_scan_groups(flat_variables, scanned_template,
+                             r'blocks_(\d+)_scan(\d+)$', source_key)

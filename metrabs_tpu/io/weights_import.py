@@ -24,11 +24,9 @@ from typing import Any, Dict, List, Tuple
 import numpy as np
 
 
-def _conv_kernel(pt_weight: np.ndarray, depthwise: bool = False) -> np.ndarray:
-    """OIHW -> HWIO (flax). Depthwise torch convs have shape [C, 1, H, W] and
-    flax feature-grouped convs expect [H, W, 1, C]."""
-    if depthwise:
-        return np.transpose(pt_weight, (2, 3, 1, 0))
+def _conv_kernel(pt_weight: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO (flax). The same transpose also covers depthwise convs:
+    torch [C, 1, H, W] -> flax feature-grouped [H, W, 1, C]."""
     return np.transpose(pt_weight, (2, 3, 1, 0))
 
 
@@ -101,7 +99,7 @@ def import_effnetv2_from_torch(
                 put(f'{bb}/{dst}/expand_conv/kernel', _conv_kernel(sd[f'{pre}.0.0.weight']))
                 _bn_put(put, bb, bs, dst, 'norm0', sd, f'{pre}.0.1')
                 put(f'{bb}/{dst}/depthwise_conv/kernel',
-                    _conv_kernel(sd[f'{pre}.1.0.weight'], depthwise=True))
+                    _conv_kernel(sd[f'{pre}.1.0.weight']))
                 _bn_put(put, bb, bs, dst, 'norm1', sd, f'{pre}.1.1')
                 put(f'{bb}/{dst}/se/reduce/kernel', _conv_kernel(sd[f'{pre}.2.fc1.weight']))
                 put(f'{bb}/{dst}/se/reduce/bias', sd[f'{pre}.2.fc1.bias'])

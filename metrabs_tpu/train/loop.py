@@ -49,10 +49,21 @@ def create_train_state(model, tx, rng, cfg: ModelConfig,
         opt_state=tx.init(params), ema_params=params)
 
 
+def load_affine_weights(path: str) -> Dict[str, Any]:
+    """Loads affine-combining-autoencoder weights (`init.py:225-234`): an
+    npz with w1 [n_joints, n_latents] (encoder) and w2 [n_latents, n_joints]
+    (decoder/recombination), keyed as the Metrabs 'constants' collection."""
+    import numpy as np
+    ws = np.load(path)
+    return {'encoder_weights': np.asarray(ws['w1'], np.float32),
+            'recombination_weights': np.asarray(ws['w2'], np.float32)}
+
+
 def make_train_step(
         model, tx, joint_info3d: JointInfo, joint_info2d: JointInfo,
         cfg: ModelConfig, tcfg: TrainConfig,
-        bn_inference: bool = False) -> Callable:
+        bn_inference: bool = False,
+        affine_weights: Optional[Dict[str, Any]] = None) -> Callable:
     """Builds the pure train step.
 
     batch3d: image [n,S,S,3], intrinsics [n,3,3], coords3d_true [n,J,3],
@@ -67,8 +78,42 @@ def make_train_step(
     dropout/stochastic depth are off — while gradients still flow; this is
     the SwitchToInferenceMode phase of the published training recipe
     (`metrabs_tf/main.py:131-134`).
+
+    The latent/manifold fine-tuning modes (`models/metrabs.py:169-191,
+    228-245`) need the affine-combining-autoencoder weights: pass
+    `affine_weights` = {'encoder_weights': [J, L], 'recombination_weights':
+    [L, J]} (the model's 'constants' collection, or `load_affine_weights`).
+    They are closed over as literal constants — like the reference's
+    tf.constant (`init.py:232-234`); a [J, L] matrix is a few KB, far below
+    the HLO-constant-embedding danger zone that applies to model params.
+      - transform_coords: the head predicts L latent points; the absolute
+        reconstruction is decoded to joints before every loss.
+      - predict_all_and_latents: latent and all-joints heads reconstruct
+        independently and train with the hybrid student-teacher losses.
+      - regularize_to_manifold: plain joints head + pred-vs-AE-reconstruction
+        penalty.
     """
     index_groups = losses_mod.get_2d_joint_index_groups(joint_info3d, joint_info2d)
+
+    latent_mode = getattr(model, 'latent_mode', '')
+    if tcfg.predict_all_and_latents and latent_mode != 'predict_all_and_latents':
+        raise ValueError(
+            f'TrainConfig.predict_all_and_latents requires a model built with '
+            f"latent_mode='predict_all_and_latents', got {latent_mode!r}")
+    if tcfg.transform_coords and latent_mode != 'transform_coords':
+        raise ValueError(
+            f'TrainConfig.transform_coords requires a model built with '
+            f"latent_mode='transform_coords', got {latent_mode!r}")
+    needs_ae = bool(latent_mode) or tcfg.regularize_to_manifold
+    w_dec = w_enc = None
+    if needs_ae:
+        if affine_weights is None:
+            raise ValueError(
+                'latent/manifold training modes need the autoencoder weights: '
+                "pass affine_weights={'encoder_weights': [J, L], "
+                "'recombination_weights': [L, J]}")
+        w_dec = jnp.asarray(affine_weights['recombination_weights'], jnp.float32)
+        w_enc = jnp.asarray(affine_weights['encoder_weights'], jnp.float32)
 
     def train_step(state: TrainState, batch3d: Dict, batch2d: Dict,
                    rng: jax.Array) -> Tuple[TrainState, Dict]:
@@ -85,6 +130,12 @@ def make_train_step(
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
+            if latent_mode:
+                # The module's setup() declares the 'constants' collection,
+                # so apply() must be given it even though backbone_and_head
+                # doesn't read it; the values are the AE weights.
+                variables['constants'] = dict(
+                    recombination_weights=w_dec, encoder_weights=w_enc)
             if bn_inference:
                 features, head2d, head3d = model.apply(
                     variables, image_both, train=False,
@@ -99,20 +150,56 @@ def make_train_step(
             # Random 2D/3D mixing factor during training
             # (`models/metrabs.py:165-167`).
             mix = jax.random.uniform(rng_mix, (image_both.shape[0], 1, 1))
+
+            if latent_mode == 'predict_all_and_latents':
+                # Latent and all-joints heads reconstruct independently
+                # (`models/metrabs.py:169-184`; latent slots come first, as
+                # in Metrabs.__call__).
+                n_lat = model.n_latents
+                abs_lat = losses_mod.reconstruct_absolute_trainmode(
+                    head2d[:, :n_lat], head3d[:, :n_lat], intr_both, mix,
+                    state.step, cfg=cfg)
+                abs_all = losses_mod.reconstruct_absolute_trainmode(
+                    head2d[:, n_lat:], head3d[:, n_lat:], intr_both, mix,
+                    state.step, cfg=cfg)
+                losses = losses_mod.compute_losses_latents_and_all(
+                    abs_all[:n3], abs_lat[:n3], abs_all[n3:], abs_lat[n3:],
+                    batch3d, batch2d, index_groups, cfg=cfg, tcfg=tcfg,
+                    step=state.step, recombination_weights=w_dec,
+                    encoder_weights=w_enc)
+                return losses['loss'], (mutated, losses)
+
             coords_abs_both = losses_mod.reconstruct_absolute_trainmode(
                 head2d, head3d, intr_both, mix, state.step, cfg=cfg)
+            if latent_mode == 'transform_coords':
+                # Decode latent points to joints after reconstruction
+                # (`models/metrabs.py:190-191`).
+                coords_abs_both = jnp.einsum(
+                    'bjc,jJ->bJc', coords_abs_both, w_dec, precision='highest')
 
             preds_abs = coords_abs_both[:n3]
             preds_abs_2d = coords_abs_both[n3:]
             losses = losses_mod.compute_losses(
                 preds_abs, preds_abs_2d, batch3d, batch2d, index_groups,
-                cfg=cfg, tcfg=tcfg, step=state.step)
+                cfg=cfg, tcfg=tcfg, step=state.step,
+                reconstruction_weights=(
+                    w_enc @ w_dec if tcfg.regularize_to_manifold else None))
             return losses['loss'], (mutated, losses)
 
         grads, (mutated, losses) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = optim.ema_update(state.ema_params, new_params, tcfg.ema_momentum)
+        if tcfg.grad_accum_steps > 1 and tcfg.ema_momentum < 1.0:
+            # Under optax.MultiSteps only every k-th micro-step applies an
+            # optimizer update; blending the EMA on the k-1 no-op micro-steps
+            # would shrink the effective horizon to momentum**k per applied
+            # step vs the reference's per-update Keras EMA. mini_step wraps
+            # to 0 exactly when the accumulated update was just applied.
+            applied = new_opt_state.mini_step == 0
+            new_ema = jax.tree_util.tree_map(
+                lambda e, c: jnp.where(applied, c, e),
+                state.ema_params, new_ema)
         new_state = TrainState(
             step=state.step + 1, params=new_params,
             batch_stats=mutated.get('batch_stats', state.batch_stats),

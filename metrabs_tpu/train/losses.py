@@ -96,10 +96,21 @@ def compute_loss_with_3d_gt(
 def get_2d_joint_index_groups(
         joint_info3d: JointInfo, joint_info2d: JointInfo) -> List[List[int]]:
     """For each 2D-dataset joint name, the 3D joints whose names start with it
-    (`models/metrabs.py:396-405`); resolved at trace time (static)."""
-    return [
+    (`models/metrabs.py:396-405`); resolved at trace time (static).
+
+    Raises on a 2D joint with NO matching 3D joint: a size-0 group would
+    mean over an empty axis (NaN) and silently drop that joint from
+    supervision — a misconfiguration (mismatched naming conventions between
+    the 2D and 3D joint sets) that must fail loudly."""
+    groups = [
         [joint_info3d.ids[n3] for n3 in joint_info3d.names if n3.startswith(n2)]
         for n2 in joint_info2d.names]
+    empty = [n2 for n2, g in zip(joint_info2d.names, groups) if not g]
+    if empty:
+        raise ValueError(
+            f'2D joints {empty} match no 3D joint by name-prefix; check the '
+            f'joint naming conventions of the 2D and 3D joint sets')
+    return groups
 
 
 def get_2dlike_joints(coords: jnp.ndarray,

@@ -75,6 +75,34 @@ def test_detector_flip_aug_runs(tiny_detector, rng):
     assert np.asarray(boxes5).shape == (1, 4, 5)
 
 
+def test_unscale_uses_per_axis_factors(tiny_detector, rng):
+    """Box unscale must use per-axis orig/target ratios
+    (`person_detector.py:39-40`): target_h truncates (int(0.96*80)=76), so
+    the short axis stretches by 80/76, not 1/0.96. Regression for a bug
+    that divided both axes by the single pre-truncation factor."""
+    import dataclasses
+    det = dataclasses.replace(tiny_detector)  # input_size=96
+    det._jitted = {}
+    # One fake anchor: center (48, 48), wh (20, 30) in the 96x96
+    # resized+padded frame, person score 1.
+    fake = np.zeros((1, 4, 85), np.float32)
+    fake[0, 0, :4] = [48.0, 48.0, 20.0, 30.0]
+    fake[0, 0, 4] = 1.0
+    fake[0, 0, 5 + yolov4.PERSON_CLASS] = 1.0
+    det._forward = lambda variables, images_resized: jnp.asarray(fake)
+
+    img = rng.integers(0, 255, size=(1, 80, 100, 3), dtype=np.uint8)
+    boxes5, valid = det.detect_batched(img, threshold=0.5, max_detections=2)
+    boxes5 = np.asarray(boxes5)
+    assert np.asarray(valid)[0, 0]
+    # orig 80x100, size 96 -> factor .96, target (76, 96), pad_h 20 (hp 10).
+    x_factor, y_factor = 100 / 96, 80 / 76
+    np.testing.assert_allclose(
+        boxes5[0, 0, :4],
+        [(48 - 10) * x_factor, (48 - 15 - 10) * y_factor,
+         20 * x_factor, 30 * y_factor], rtol=1e-5)
+
+
 def test_darknet_conv_count():
     """YOLOv4 (flat layout) must have exactly 110 conv sections with outputs
     at 93/101/109 (the canonical darknet layout the importer assumes)."""

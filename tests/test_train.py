@@ -193,3 +193,113 @@ def test_finetune_in_inference_mode_freezes_batch_stats():
         s1.params, s2.params)
     assert max(jax.tree_util.tree_leaves(p_moved)) > 0
     assert np.isfinite(float(losses['loss']))
+
+
+def _affine_weights(rng, n_joints=17, n_latents=8):
+    return {'encoder_weights':
+                rng.normal(size=(n_joints, n_latents)).astype(np.float32) * 0.3,
+            'recombination_weights':
+                rng.normal(size=(n_latents, n_joints)).astype(np.float32) * 0.3}
+
+
+def test_train_step_transform_coords(rng):
+    """transform_coords training: the latent head's reconstruction is decoded
+    to joints before the losses (`models/metrabs.py:190-191`)."""
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, transform_coords=True)
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32),
+                    latent_mode='transform_coords', n_latents=8)
+    tx = optim.build_optimizer(tcfg)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    aff = _affine_weights(rng)
+    step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg,
+                                       affine_weights=aff)
+    b3, b2 = make_batches(rng)
+    s1, losses = jax.jit(step_fn)(state, b3, b2, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses['loss']))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_train_step_predict_all_and_latents_uses_hybrid_losses(rng):
+    """predict_all_and_latents must route through the hybrid student-teacher
+    losses (`models/metrabs.py:228-229`), not plain compute_losses."""
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, predict_all_and_latents=True)
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32),
+                    latent_mode='predict_all_and_latents', n_latents=8)
+    tx = optim.build_optimizer(tcfg)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    aff = _affine_weights(rng)
+    step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg,
+                                       affine_weights=aff)
+    b3, b2 = make_batches(rng)
+    s1, losses = jax.jit(step_fn)(state, b3, b2, jax.random.PRNGKey(1))
+    assert 'loss_latentheadreconstruction_vs_gt' in losses
+    assert 'loss_latenthead_vs_latents_from_allhead' in losses
+    assert np.isfinite(float(losses['loss']))
+
+
+def test_train_step_regularize_to_manifold(rng):
+    """Manifold regularization threads the AE reconstruction weights; without
+    affine weights make_train_step must fail at BUILD time, not at trace."""
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, regularize_to_manifold=True)
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    tx = optim.build_optimizer(tcfg)
+    with pytest.raises(ValueError, match='autoencoder'):
+        loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg,
+                                       affine_weights=_affine_weights(rng))
+    b3, b2 = make_batches(rng)
+    _, losses = jax.jit(step_fn)(state, b3, b2, jax.random.PRNGKey(1))
+    assert 'loss_pred_vs_reconstr' in losses
+    assert np.isfinite(float(losses['loss']))
+
+
+def test_train_step_latent_mode_mismatch_raises(rng):
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, predict_all_and_latents=True)
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    tx = optim.build_optimizer(tcfg)
+    with pytest.raises(ValueError, match='latent_mode'):
+        loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg,
+                                 affine_weights=_affine_weights(rng))
+
+
+def test_ema_updates_only_on_applied_steps(rng):
+    """Under optax.MultiSteps accumulation the EMA must blend once per
+    APPLIED optimizer update, not per micro-step (the reference's Keras EMA
+    sits behind the accumulator)."""
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, grad_accum_steps=2, ema_momentum=0.9)
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    tx = optim.build_optimizer(tcfg)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, CFG, tcfg)
+    b3, b2 = make_batches(rng)
+    jitted = jax.jit(step_fn)
+    # Micro-step 1: accumulate only; params and EMA must be untouched.
+    s1, _ = jitted(state, b3, b2, jax.random.PRNGKey(1))
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.ema_params, s1.ema_params)
+    assert all(jax.tree_util.tree_leaves(same))
+    # Micro-step 2: the update applies; EMA blends exactly once.
+    s2, _ = jitted(s1, b3, b2, jax.random.PRNGKey(2))
+    expected = jax.tree_util.tree_map(
+        lambda e, p: 0.9 * np.asarray(e) + 0.1 * np.asarray(p),
+        s1.ema_params, s2.params)
+    actual_vs_expected = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        s2.ema_params, expected)
+    assert max(jax.tree_util.tree_leaves(actual_vs_expected)) < 1e-6
+
+
+def test_empty_2d_index_group_raises():
+    from metrabs_tpu.utils.joint_info import JointInfo
+    ji2d = JointInfo(names=('lank', 'nose_tip'), edges=())
+    with pytest.raises(ValueError, match='nose_tip'):
+        losses_mod.get_2d_joint_index_groups(H36M_17, ji2d)
