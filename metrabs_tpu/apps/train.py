@@ -65,6 +65,16 @@ def parse_args(argv=None):
                    help='multi-host: jax.distributed.initialize() from the '
                         'TPU pod environment; batch sizes are GLOBAL and '
                         'each process loads its local shard')
+    p.add_argument('--model-class', default='metrabs',
+                   choices=('metrabs', 'metro', 'model25d'),
+                   help='crop-model architecture (`main.py:177-180`): '
+                        'metrabs (absolute, default), metro (root-relative '
+                        'only), model25d (2.5D head + bone-length depth)')
+    p.add_argument('--bone-lengths', default=None,
+                   help='model25d: npz with `lengths` [n_bones] ideal bone '
+                        'lengths in mm (bones = the 3D joint set\'s edges), '
+                        'optionally `bones` [n_bones, 2] joint-index pairs '
+                        '(`main.py:173-175`, dataset mean bones)')
     # Latent-joint / manifold fine-tuning (`init.py:235-251`): all three
     # modes need --affine-weights (npz with w1 [J,L] encode, w2 [L,J] decode).
     p.add_argument('--affine-weights', default=None)
@@ -125,6 +135,10 @@ def main(argv=None):
         latent_mode = 'transform_coords'
     elif args.predict_all_and_latents:
         latent_mode = 'predict_all_and_latents'
+    if args.model_class != 'metrabs' and (
+            latent_mode or args.regularize_to_manifold):
+        raise SystemExit('latent/manifold modes apply to the metrabs model '
+                         'class only')
     if latent_mode or args.regularize_to_manifold:
         if not args.affine_weights:
             raise SystemExit('--affine-weights is required for latent/'
@@ -184,19 +198,49 @@ def main(argv=None):
         it2d, batch_size=local_bs2, n_workers=args.workers,
         seed=args.seed + 1 + 101 * jax.process_index())
 
-    # Model + optimizer + sharded step.
-    model = Metrabs(cfg=cfg, backbone=build_backbone(
+    # Model + optimizer + sharded step (model class per `main.py:177-180`).
+    backbone = build_backbone(
         cfg.backbone, ghost_splits=args.ghost_bn_splits,
         dtype=jnp.dtype(cfg.dtype), remat=cfg.backbone_remat,
         stride_test=(cfg.stride_test
-                     if cfg.stride_test != cfg.stride_train else None)),
-        latent_mode=latent_mode, n_latents=n_latents)
+                     if cfg.stride_test != cfg.stride_train else None))
     tx = optim.build_optimizer(tcfg)
+    bones_25d = bone_lengths_ideal = None
+    if args.model_class == 'metrabs':
+        model = Metrabs(cfg=cfg, backbone=backbone,
+                        latent_mode=latent_mode, n_latents=n_latents)
+        make_step = lambda **kw: loop_mod.make_train_step(
+            model, tx, joint_info3d, joint_info2d, cfg, tcfg,
+            affine_weights=affine_weights, **kw)
+        with_intrinsics = True
+    elif args.model_class == 'metro':
+        from metrabs_tpu.models.metro import Metro
+        model = Metro(cfg=cfg, backbone=backbone)
+        make_step = lambda **kw: loop_mod.make_train_step_metro(
+            model, tx, joint_info3d, joint_info2d, cfg, tcfg, **kw)
+        with_intrinsics = False
+    else:  # model25d
+        if not args.bone_lengths:
+            raise SystemExit('--bone-lengths (npz) is required for '
+                             '--model-class model25d (`main.py:173-175`)')
+        from metrabs_tpu.models.model25d import Model25D
+        bl = np.load(args.bone_lengths)
+        bones_25d = (tuple(tuple(map(int, b)) for b in bl['bones'])
+                     if 'bones' in bl else joint_info3d.edges)
+        bone_lengths_ideal = tuple(float(x) for x in bl['lengths'])
+        if len(bone_lengths_ideal) != len(bones_25d):
+            raise SystemExit(
+                f'{len(bone_lengths_ideal)} bone lengths for '
+                f'{len(bones_25d)} bones')
+        model = Model25D(cfg=cfg, backbone=backbone, bones=bones_25d,
+                         bone_lengths_ideal=bone_lengths_ideal)
+        make_step = lambda **kw: loop_mod.make_train_step_model25d(
+            model, tx, joint_info3d, joint_info2d, cfg, tcfg, **kw)
+        with_intrinsics = True
     state = loop_mod.create_train_state(
-        model, tx, jax.random.PRNGKey(args.seed), cfg)
-    step_fn = loop_mod.make_train_step(
-        model, tx, joint_info3d, joint_info2d, cfg, tcfg,
-        affine_weights=affine_weights)
+        model, tx, jax.random.PRNGKey(args.seed), cfg,
+        with_intrinsics=with_intrinsics)
+    step_fn = make_step()
     mesh = mesh_mod.make_mesh()
     sharded_step = loop_mod.make_sharded_train_step(step_fn, mesh)
     # Final-phase step with BN frozen in inference mode
@@ -204,9 +248,7 @@ def main(argv=None):
     sharded_step_inf = None
     if tcfg.finetune_in_inference_mode:
         sharded_step_inf = loop_mod.make_sharded_train_step(
-            loop_mod.make_train_step(
-                model, tx, joint_info3d, joint_info2d, cfg, tcfg,
-                bn_inference=True, affine_weights=affine_weights), mesh)
+            make_step(bn_inference=True), mesh)
 
     # Checkpoint restore (precedence: load_path > latest > init_path).
     manager = ckpt_mod.make_checkpoint_manager(
@@ -231,9 +273,14 @@ def main(argv=None):
     from metrabs_tpu.data.pipeline import device_prefetch
     from metrabs_tpu.parallel.mesh import batch_sharding
     sharding = batch_sharding(mesh)
+    # model25d additionally supervises the 2D pixel coords of the 3D batch
+    # (`twofive.py:105-107`).
+    feed3_keys = ('image', 'intrinsics', 'coords3d_true',
+                  'joint_validity_mask')
+    if args.model_class == 'model25d':
+        feed3_keys += ('coords2d_true',)
     feed3 = device_prefetch(
-        (batch_fields(b, ('image', 'intrinsics', 'coords3d_true',
-                          'joint_validity_mask')) for b in loader3), sharding)
+        (batch_fields(b, feed3_keys) for b in loader3), sharding)
     feed2 = device_prefetch(
         (batch_fields(b, ('image', 'intrinsics', 'coords2d_true',
                           'joint_validity_mask')) for b in loader2), sharding)
@@ -297,7 +344,9 @@ def main(argv=None):
                 args.export_dir, cfg=cfg, aug_cfg=AugConfig(),
                 crop_model_variables=variables, joint_info=joint_info3d,
                 skeleton_registry=SkeletonRegistry(joint_info3d),
-                latent_mode=latent_mode, n_latents=n_latents)
+                latent_mode=latent_mode, n_latents=n_latents,
+                model_class=args.model_class, bones_25d=bones_25d,
+                bone_lengths_ideal=bone_lengths_ideal)
             print(f'exported package to {args.export_dir}')
 
 

@@ -36,7 +36,20 @@ def save_pose_estimator_package(
         skeleton_registry: Optional[SkeletonRegistry] = None,
         bone_mean_lengths: Optional[np.ndarray] = None,
         joint_transform_matrix: Optional[np.ndarray] = None,
-        latent_mode: str = '', n_latents: int = 0) -> None:
+        latent_mode: str = '', n_latents: int = 0,
+        model_class: str = 'metrabs',
+        bones_25d: Optional[Any] = None,
+        bone_lengths_ideal: Optional[Any] = None) -> None:
+    """`model_class` is 'metrabs' (default), 'metro' or 'model25d' — the
+    crop-model architecture inside the package (the reference's
+    `FLAGS.model_class`, `metrabs_tf/main.py:177-180`). Model25D packages
+    additionally need `bones_25d` [B, 2] joint-index pairs and
+    `bone_lengths_ideal` [B] millimeters (its constructor assets,
+    `twofive.py:15-18`)."""
+    if model_class == 'model25d' and (
+            bones_25d is None or bone_lengths_ideal is None):
+        raise ValueError('model25d packages need bones_25d and '
+                         'bone_lengths_ideal (twofive.py:15-18)')
     os.makedirs(directory, exist_ok=True)
     export_model_msgpack(
         os.path.join(directory, 'crop_model.msgpack'), crop_model_variables)
@@ -71,6 +84,11 @@ def save_pose_estimator_package(
         # so they must be recorded explicitly for the round trip.
         latent_mode=latent_mode,
         n_latents=n_latents,
+        model_class=model_class,
+        bones_25d=([list(map(int, b)) for b in bones_25d]
+                   if bones_25d is not None else None),
+        bone_lengths_ideal=([float(x) for x in bone_lengths_ideal]
+                            if bone_lengths_ideal is not None else None),
         bone_mean_lengths=(
             [float(x) for x in bone_mean_lengths]
             if bone_mean_lengths is not None else None),
@@ -79,29 +97,61 @@ def save_pose_estimator_package(
         json.dump(manifest, f, indent=2)
 
 
-def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
-    """Reconstructs a PoseEstimator from a package directory."""
+def load_crop_model(directory: str, backbone_builder=None):
+    """Loads the bare crop model from a package directory.
+
+    Returns (model, variables, cfg, joint_info, manifest) for any
+    model_class — including 'metro', whose root-relative-only output cannot
+    drive the absolute multi-person estimator (the reference never packages
+    Metro into the multiperson SavedModel either; `models/__init__.py:1-2`
+    does not even export it)."""
     from metrabs_tpu.models.backbones.builder import build_backbone
-    from metrabs_tpu.models.metrabs import Metrabs
 
     with open(os.path.join(directory, 'manifest.json')) as f:
         manifest = json.load(f)
     cfg = ModelConfig(**manifest['model_config'])
-    aug_cfg = AugConfig(**manifest['aug_config'])
     joint_info = JointInfo(
         names=tuple(manifest['joint_names']),
         edges=tuple(tuple(e) for e in manifest['joint_edges']))
-
-    crop_variables = load_model_msgpack(
+    variables = load_model_msgpack(
         os.path.join(directory, 'crop_model.msgpack'))['variables']
     backbone = (backbone_builder or build_backbone)(
         cfg.backbone, centered_stride=cfg.centered_stride,
         dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks,
         stride_test=(cfg.stride_test
                      if cfg.stride_test != cfg.stride_train else None))
-    model = Metrabs(cfg=cfg, backbone=backbone,
-                    latent_mode=manifest.get('latent_mode', ''),
-                    n_latents=manifest.get('n_latents', 0))
+
+    model_class = manifest.get('model_class', 'metrabs')
+    if model_class == 'metrabs':
+        from metrabs_tpu.models.metrabs import Metrabs
+        model = Metrabs(cfg=cfg, backbone=backbone,
+                        latent_mode=manifest.get('latent_mode', ''),
+                        n_latents=manifest.get('n_latents', 0))
+    elif model_class == 'metro':
+        from metrabs_tpu.models.metro import Metro
+        model = Metro(cfg=cfg, backbone=backbone)
+    elif model_class == 'model25d':
+        from metrabs_tpu.models.model25d import Model25D
+        model = Model25D(
+            cfg=cfg, backbone=backbone,
+            bones=tuple(tuple(b) for b in manifest['bones_25d']),
+            bone_lengths_ideal=tuple(manifest['bone_lengths_ideal']))
+    else:
+        raise ValueError(f'Unknown model_class {model_class!r} in manifest')
+    return model, variables, cfg, joint_info, manifest
+
+
+def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
+    """Reconstructs a PoseEstimator from a package directory."""
+    model, crop_variables, cfg, joint_info, manifest = load_crop_model(
+        directory, backbone_builder)
+    model_class = manifest.get('model_class', 'metrabs')
+    if model_class == 'metro':
+        raise ValueError(
+            'Metro predicts root-relative poses only (no intrinsics input, '
+            'metro.py:24-27) and cannot drive the absolute multi-person '
+            'estimator; use load_crop_model() for the bare model')
+    aug_cfg = AugConfig(**manifest['aug_config'])
 
     def crop_model_fn(state, crops, intrinsics, sample_valid):
         # state as argument, not closure: keeps weights out of the HLO.

@@ -42,8 +42,22 @@ class Model25D(nn.Module):
         return self.heatmap_head(features, train=train)
 
     def __call__(self, image: jnp.ndarray, intrinsics: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 sample_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         coords25d = self.forward_25d(image, train=train)
+        if sample_valid is not None:
+            # Estimator crop-fn contract: padding crops carry arbitrary head
+            # outputs, and the LM bone solve divides by bone directions —
+            # substitute a well-conditioned diagonal dummy pose (nonzero
+            # bone lengths) so invalid slots stay finite; their outputs are
+            # masked downstream by the same validity mask.
+            n_j = coords25d.shape[-2]
+            spread = jnp.linspace(0.25, 0.75, n_j) * self.cfg.proc_side
+            neutral = jnp.stack(
+                [spread, spread,
+                 jnp.full((n_j,), 0.5 * self.cfg.box_size_mm)], axis=-1)
+            coords25d = jnp.where(
+                sample_valid[:, None, None], coords25d, neutral)
         # stride here only sets the FOV trust border, which the reference
         # always derives from stride_train (`tfu3d.py:209-216`) regardless
         # of the test-time stride.

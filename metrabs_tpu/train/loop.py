@@ -35,13 +35,19 @@ class TrainState:
 
 
 def create_train_state(model, tx, rng, cfg: ModelConfig,
-                       sample_batch_size: int = 2) -> TrainState:
+                       sample_batch_size: int = 2,
+                       with_intrinsics: bool = True) -> TrainState:
+    """`with_intrinsics=False` for models whose __call__ takes only an image
+    (Metro has no intrinsics input, `metrabs_tf/models/metro.py:24-27`)."""
     dummy_img = jnp.zeros(
         (sample_batch_size, cfg.proc_side, cfg.proc_side, 3),
         jnp.dtype(cfg.dtype))
-    dummy_k = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
-                       (sample_batch_size, 1, 1))
-    variables = model.init({'params': rng}, dummy_img, dummy_k, train=False)
+    if with_intrinsics:
+        dummy_k = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
+                           (sample_batch_size, 1, 1))
+        variables = model.init({'params': rng}, dummy_img, dummy_k, train=False)
+    else:
+        variables = model.init({'params': rng}, dummy_img, train=False)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(
@@ -186,25 +192,122 @@ def make_train_step(
                     w_enc @ w_dec if tcfg.regularize_to_manifold else None))
             return losses['loss'], (mutated, losses)
 
-        grads, (mutated, losses) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = optim.ema_update(state.ema_params, new_params, tcfg.ema_momentum)
-        if tcfg.grad_accum_steps > 1 and tcfg.ema_momentum < 1.0:
-            # Under optax.MultiSteps only every k-th micro-step applies an
-            # optimizer update; blending the EMA on the k-1 no-op micro-steps
-            # would shrink the effective horizon to momentum**k per applied
-            # step vs the reference's per-update Keras EMA. mini_step wraps
-            # to 0 exactly when the accumulated update was just applied.
-            applied = new_opt_state.mini_step == 0
-            new_ema = jax.tree_util.tree_map(
-                lambda e, c: jnp.where(applied, c, e),
-                state.ema_params, new_ema)
-        new_state = TrainState(
-            step=state.step + 1, params=new_params,
-            batch_stats=mutated.get('batch_stats', state.batch_stats),
-            opt_state=new_opt_state, ema_params=new_ema)
-        return new_state, losses
+        return _apply_gradients(state, loss_fn, tx, tcfg)
+
+    return train_step
+
+
+def _apply_gradients(state: TrainState, loss_fn, tx,
+                     tcfg: TrainConfig) -> Tuple[TrainState, Dict]:
+    """Shared optimizer tail of every train step: grad, optimizer update,
+    EMA blend (once per APPLIED update under optax.MultiSteps accumulation —
+    the reference's Keras EMA sits behind the accumulator)."""
+    grads, (mutated, losses) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = optim.ema_update(state.ema_params, new_params, tcfg.ema_momentum)
+    if tcfg.grad_accum_steps > 1 and tcfg.ema_momentum < 1.0:
+        # Under optax.MultiSteps only every k-th micro-step applies an
+        # optimizer update; blending the EMA on the k-1 no-op micro-steps
+        # would shrink the effective horizon to momentum**k per applied
+        # step vs the reference's per-update Keras EMA. mini_step wraps
+        # to 0 exactly when the accumulated update was just applied.
+        applied = new_opt_state.mini_step == 0
+        new_ema = jax.tree_util.tree_map(
+            lambda e, c: jnp.where(applied, c, e),
+            state.ema_params, new_ema)
+    new_state = TrainState(
+        step=state.step + 1, params=new_params,
+        batch_stats=mutated.get('batch_stats', state.batch_stats),
+        opt_state=new_opt_state, ema_params=new_ema)
+    return new_state, losses
+
+
+def make_train_step_metro(
+        model, tx, joint_info3d: JointInfo, joint_info2d: JointInfo,
+        cfg: ModelConfig, tcfg: TrainConfig,
+        bn_inference: bool = False) -> Callable:
+    """Train step for the Metro model (root-relative-only 3D head, no
+    intrinsics input): the `MetroTrainer.forward_train/compute_losses`
+    equivalent (`metrabs_tf/models/metro.py:60-107`). Both streams run the
+    backbone+head together; the 3D batch gets the root-relative L1 and the
+    2D batch the mean/stdev-aligned weak 2D loss."""
+    from metrabs_tpu.models import metro as metro_mod
+
+    index_groups = losses_mod.get_2d_joint_index_groups(
+        joint_info3d, joint_info2d)
+
+    def train_step(state: TrainState, batch3d: Dict, batch2d: Dict,
+                   rng: jax.Array) -> Tuple[TrainState, Dict]:
+        _, rng_dropout = jax.random.split(rng)
+        n3 = batch3d['image'].shape[0]
+        image_both = jnp.concatenate(
+            [batch3d['image'], batch2d['image']], axis=0).astype(
+            jnp.dtype(cfg.dtype))
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            if bn_inference:
+                coords = model.apply(variables, image_both, train=False)
+                mutated = {}
+            else:
+                coords, mutated = model.apply(
+                    variables, image_both, train=True,
+                    mutable=['batch_stats'], rngs={'dropout': rng_dropout})
+            losses = metro_mod.compute_metro_losses(
+                coords[:n3], coords[n3:], batch3d, batch2d, index_groups,
+                cfg=cfg, tcfg=tcfg)
+            return losses['loss'], (mutated, losses)
+
+        return _apply_gradients(state, loss_fn, tx, tcfg)
+
+    return train_step
+
+
+def make_train_step_model25d(
+        model, tx, joint_info3d: JointInfo, joint_info2d: JointInfo,
+        cfg: ModelConfig, tcfg: TrainConfig,
+        bn_inference: bool = False) -> Callable:
+    """Train step for Model25D: the `Model25DTrainer` equivalent
+    (`metrabs_tf/models/twofive.py:70-122`). Training supervises the raw
+    2.5D head output (2D pixel L1 + relative-z L1 + weak 2D); the LM
+    bone-length absolute solve runs only at inference, exactly as the
+    reference's compute_losses never touches coords3d_pred_abs."""
+    from metrabs_tpu.models import model25d as m25_mod
+
+    index_groups = losses_mod.get_2d_joint_index_groups(
+        joint_info3d, joint_info2d)
+
+    def train_step(state: TrainState, batch3d: Dict, batch2d: Dict,
+                   rng: jax.Array) -> Tuple[TrainState, Dict]:
+        _, rng_dropout = jax.random.split(rng)
+        n3 = batch3d['image'].shape[0]
+        image_both = jnp.concatenate(
+            [batch3d['image'], batch2d['image']], axis=0).astype(
+            jnp.dtype(cfg.dtype))
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            if bn_inference:
+                coords25d = model.apply(
+                    variables, image_both, train=False,
+                    method=model.forward_25d)
+                mutated = {}
+            else:
+                coords25d, mutated = model.apply(
+                    variables, image_both, train=True,
+                    method=model.forward_25d,
+                    mutable=['batch_stats'], rngs={'dropout': rng_dropout})
+            losses = m25_mod.compute_model25d_losses(
+                coords25d[:n3], coords25d[n3:], batch3d, batch2d,
+                index_groups, cfg=cfg, tcfg=tcfg)
+            return losses['loss'], (mutated, losses)
+
+        return _apply_gradients(state, loss_fn, tx, tcfg)
 
     return train_step
 

@@ -203,3 +203,85 @@ def test_package_roundtrip_latent_mode(tmp_path, rng):
     out = est.estimate_poses(img, boxes, num_aug=1)
     assert np.asarray(out['poses3d']).shape == (1, 17, 3)
     assert np.all(np.isfinite(np.asarray(out['poses3d'])))
+
+
+def test_package_roundtrip_model25d(tmp_path, rng):
+    """Model25D packages round-trip into a working PoseEstimator: the
+    manifest records model_class + bones + ideal bone lengths (the
+    constructor assets of `twofive.py:15-18`), and the rebuilt crop fn
+    satisfies the estimator's (state, crops, K, valid) contract incl.
+    finite outputs for padding crops."""
+    from metrabs_tpu.config import AugConfig, ModelConfig
+    from metrabs_tpu.io.packaging import (
+        load_crop_model, load_pose_estimator, save_pose_estimator_package)
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.model25d import Model25D
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32',
+                      backbone='tiny', warp_backend='gather')
+    bones = tuple(tuple(map(int, e)) for e in H36M_17.edges)
+    lengths = tuple(float(x) for x in np.full(len(bones), 300.0))
+    model = Model25D(cfg=cfg, backbone=TinyBackbone(width=8, dtype=jnp.float32),
+                     bones=bones, bone_lengths_ideal=lengths)
+    crop_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.eye(3)[None])
+    joint_info = JointInfo(names=tuple(H36M_17.names),
+                           edges=tuple(H36M_17.edges))
+    d = str(tmp_path / 'pkg_25d')
+    save_pose_estimator_package(
+        d, cfg=cfg, aug_cfg=AugConfig(), crop_model_variables=crop_vars,
+        joint_info=joint_info, model_class='model25d', bones_25d=bones,
+        bone_lengths_ideal=lengths)
+
+    def tiny_builder(name, **kwargs):
+        return TinyBackbone(width=8, dtype=jnp.float32)
+
+    m2, _, _, _, manifest = load_crop_model(d, backbone_builder=tiny_builder)
+    assert type(m2).__name__ == 'Model25D'
+    assert manifest['model_class'] == 'model25d'
+    assert m2.bone_lengths_ideal == lengths
+
+    est = load_pose_estimator(d, backbone_builder=tiny_builder)
+    img = rng.integers(0, 255, size=(80, 100, 3), dtype=np.uint8)
+    # One valid box and one degenerate box: the degenerate crop exercises
+    # the sample_valid neutral-pose path through the LM bone solve.
+    boxes = np.array([[10, 10, 60, 60], [0, 0, 0, 0]], np.float32)
+    out = est.estimate_poses(img, boxes, num_aug=1)
+    assert np.asarray(out['poses3d']).shape == (2, 17, 3)
+    assert np.all(np.isfinite(np.asarray(out['poses3d'])))
+
+
+def test_package_metro_refuses_pose_estimator(tmp_path):
+    """Metro packages load as bare crop models but must refuse the absolute
+    multi-person estimator (no intrinsics input, `metro.py:24-27`)."""
+    import pytest
+
+    from metrabs_tpu.config import AugConfig, ModelConfig
+    from metrabs_tpu.io.packaging import (
+        load_crop_model, load_pose_estimator, save_pose_estimator_package)
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metro import Metro
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32',
+                      backbone='tiny', warp_backend='gather')
+    model = Metro(cfg=cfg, backbone=TinyBackbone(width=8, dtype=jnp.float32))
+    crop_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    joint_info = JointInfo(names=tuple(H36M_17.names),
+                           edges=tuple(H36M_17.edges))
+    d = str(tmp_path / 'pkg_metro')
+    save_pose_estimator_package(
+        d, cfg=cfg, aug_cfg=AugConfig(), crop_model_variables=crop_vars,
+        joint_info=joint_info, model_class='metro')
+
+    def tiny_builder(name, **kwargs):
+        return TinyBackbone(width=8, dtype=jnp.float32)
+
+    m2, variables, cfg2, _, _ = load_crop_model(d, backbone_builder=tiny_builder)
+    out = m2.apply(variables, jnp.zeros((2, 64, 64, 3), jnp.float32))
+    assert out.shape == (2, 17, 3)
+    with pytest.raises(ValueError, match='root-relative'):
+        load_pose_estimator(d, backbone_builder=tiny_builder)

@@ -9,6 +9,8 @@ import pytest
 from metrabs_tpu.config import ModelConfig, TrainConfig
 from metrabs_tpu.models.backbones.tiny import TinyBackbone
 from metrabs_tpu.models.metrabs import Metrabs
+from metrabs_tpu.models.metro import Metro
+from metrabs_tpu.models.model25d import Model25D
 from metrabs_tpu.ops.camera import intrinsics_from_fov
 from metrabs_tpu.pipeline.skeletons import H36M_17, LSP_14
 from metrabs_tpu.train import losses as losses_mod
@@ -303,3 +305,45 @@ def test_empty_2d_index_group_raises():
     ji2d = JointInfo(names=('lank', 'nose_tip'), edges=())
     with pytest.raises(ValueError, match='nose_tip'):
         losses_mod.get_2d_joint_index_groups(H36M_17, ji2d)
+
+
+def test_train_step_metro(rng):
+    """Metro training (`metro.py:60-107`): no intrinsics input, root-relative
+    3D L1 + aligned weak 2D loss; params must move and losses stay finite."""
+    model = Metro(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    tx = optim.build_optimizer(TCFG)
+    state = loop_mod.create_train_state(
+        model, tx, jax.random.PRNGKey(0), CFG, with_intrinsics=False)
+    step_fn = loop_mod.make_train_step_metro(
+        model, tx, H36M_17, LSP_14, CFG, TCFG)
+    b3, b2 = make_batches(rng)
+    s1, losses = jax.jit(step_fn)(state, b3, b2, jax.random.PRNGKey(1))
+    assert set(losses) >= {'loss', 'loss3d', 'loss2d'}
+    assert np.isfinite(float(losses['loss']))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_train_step_model25d(rng):
+    """Model25D training (`twofive.py:70-122`): supervises the raw 2.5D head
+    (2D px + relative-z + weak 2D); the LM solve is inference-only."""
+    bones = H36M_17.edges
+    model = Model25D(
+        cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32),
+        bones=bones,
+        bone_lengths_ideal=tuple(float(x) for x in np.full(len(bones), 300.0)))
+    tx = optim.build_optimizer(TCFG)
+    state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), CFG)
+    step_fn = loop_mod.make_train_step_model25d(
+        model, tx, H36M_17, LSP_14, CFG, TCFG)
+    b3, b2 = make_batches(rng)
+    # model25d additionally supervises 2D pixel coords on the 3D batch.
+    b3 = dict(b3, coords2d_true=jnp.asarray(
+        rng.uniform(10, 50, size=(4, 17, 2)).astype(np.float32)))
+    s1, losses = jax.jit(step_fn)(state, b3, b2, jax.random.PRNGKey(1))
+    assert set(losses) >= {'loss', 'loss23d', 'loss_z', 'loss2d'}
+    assert np.isfinite(float(losses['loss']))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
