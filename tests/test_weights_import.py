@@ -195,3 +195,118 @@ def test_load_affine_weights(tmp_path, rng):
 
     with pytest.raises(ValueError):
         load_affine_weights({'w1': w1[:5], 'w2': w2}, variables)
+
+
+def _torch_effnetv2s_forward(sd, x_nhwc):
+    """Independent numeric oracle: runs EfficientNetV2-S forward in PyTorch
+    directly from the torchvision-layout state_dict, with the reference PT
+    fork's semantics (`metrabs_pytorch/backbones/efficientnet.py:118-233`):
+    TF-style fixed padding + VALID convs (`:1127-1161`, no br shifts here),
+    BatchNorm eps 1e-3 (`:935`), SiLU, SqueezeExcitation fc1/silu/fc2/sigmoid,
+    residual when stride 1 and in==out, stochastic depth off at eval."""
+    import torch
+    import torch.nn.functional as F
+
+    t = lambda k: torch.from_numpy(np.asarray(sd[k], np.float32))
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.transpose(x_nhwc, (0, 3, 1, 2)))).float()
+    x = 2.0 * x - 1.0  # tf preproc, applied inside the flax backbone
+
+    def bn(x, pre):
+        return F.batch_norm(
+            x, t(f'{pre}.running_mean'), t(f'{pre}.running_var'),
+            t(f'{pre}.weight'), t(f'{pre}.bias'), training=False, eps=1e-3)
+
+    def fixed_pad(x, k):
+        total = k - 1
+        beg, end = total // 2, total - total // 2
+        return F.pad(x, (beg, end, beg, end))
+
+    x = fixed_pad(x, 3)
+    x = F.conv2d(x, t('features.0.0.weight'), stride=2)
+    x = F.silu(bn(x, 'features.0.1'))
+
+    blocks = expand_blocks('efficientnetv2-s')
+    stage_counts = [2, 4, 4, 6, 9, 15]
+    idx = 0
+    for s, count in enumerate(stage_counts, start=1):
+        for b in range(count):
+            pre = f'features.{s}.{b}.block'
+            a = blocks[idx]
+            idx += 1
+            inp = x
+            if a.conv_type == 1:  # FusedMBConv
+                x = fixed_pad(x, a.kernel_size)
+                x = F.conv2d(x, t(f'{pre}.0.0.weight'), stride=a.strides)
+                x = F.silu(bn(x, f'{pre}.0.1'))
+                if a.expand_ratio != 1:
+                    x = F.conv2d(x, t(f'{pre}.1.0.weight'))
+                    x = bn(x, f'{pre}.1.1')
+            else:  # MBConv
+                x = F.conv2d(x, t(f'{pre}.0.0.weight'))
+                x = F.silu(bn(x, f'{pre}.0.1'))
+                x = fixed_pad(x, a.kernel_size)
+                x = F.conv2d(x, t(f'{pre}.1.0.weight'), stride=a.strides,
+                             groups=x.shape[1])
+                x = F.silu(bn(x, f'{pre}.1.1'))
+                se = x.mean((2, 3), keepdim=True)
+                se = F.conv2d(se, t(f'{pre}.2.fc1.weight'),
+                              t(f'{pre}.2.fc1.bias'))
+                se = F.silu(se)
+                se = F.conv2d(se, t(f'{pre}.2.fc2.weight'),
+                              t(f'{pre}.2.fc2.bias'))
+                x = torch.sigmoid(se) * x
+                x = F.conv2d(x, t(f'{pre}.3.0.weight'))
+                x = bn(x, f'{pre}.3.1')
+            if a.strides == 1 and a.input_filters == a.output_filters:
+                x = x + inp
+    x = F.conv2d(x, t('features.7.0.weight'))
+    x = F.silu(bn(x, 'features.7.1'))
+    return np.transpose(x.numpy(), (0, 2, 3, 1))
+
+
+def test_effnetv2_torch_import_numeric_equivalence(rng):
+    """The imported flax model must reproduce a PyTorch forward from the same
+    state_dict to float32 accuracy. This validates the import end-to-end
+    numerically — transposes, BN parameter roles/eps, SE order, activation
+    placement, padding semantics — against an independent torch oracle, not
+    just key placement (centered_stride=False: the torchvision alignment;
+    the released PT weights use the same fixed-padding scheme,
+    `metrabs_pytorch/backbones/efficientnet.py:1127-1161`)."""
+    import flax.linen as nn
+    torch = pytest.importorskip('torch')
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return EfficientNetV2(
+                model_name='efficientnetv2-s', dtype=jnp.float32,
+                scan_blocks=False, centered_stride=False,
+                name='backbone')(x, train=train)
+
+    model = Model()
+    variables = jax.jit(model.init)(
+        {'params': jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    sd = build_synthetic_torch_sd(variables, rng)
+    # Tame the random weights so activations stay in float32-comparable
+    # range through 40 blocks: unit-gain convs (fan-in scaling) and O(1)
+    # positive BN affine, like trained networks have.
+    for k in list(sd):
+        if sd[k].ndim == 4:
+            fan_in = int(np.prod(sd[k].shape[1:]))
+            sd[k] = (sd[k] / np.sqrt(fan_in)).astype(np.float32)
+        elif k.endswith('.weight'):
+            sd[k] = 1.0 + 0.1 * sd[k]
+        elif k.endswith('.running_var'):
+            sd[k] = 1.0 + 0.5 * np.abs(sd[k])
+        elif k.endswith('.running_mean'):
+            sd[k] = 0.1 * sd[k]
+    imported = weights_import.import_effnetv2_from_torch(sd, variables)
+
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    out_flax = np.asarray(model.apply(imported, jnp.asarray(x), train=False))
+    out_torch = _torch_effnetv2s_forward(sd, x)
+    assert out_flax.shape == out_torch.shape == (2, 2, 2, 1280)
+    denom = np.abs(out_torch).max()
+    rel_err = np.abs(out_flax - out_torch).max() / denom
+    assert rel_err < 1e-4, rel_err
