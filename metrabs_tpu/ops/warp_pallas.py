@@ -154,6 +154,16 @@ def _warp_tile_kernel(meta_ref, params_ref, canvas_ref, out_ref, win, sem, *,
         vxt_lo = (vxt - vxt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         s = (dotf(win_hi, vxt_hi) + dotf(win_hi, vxt_lo)
              + dotf(win_lo, vxt_hi))                    # [3*WIN_R, P]
+    elif precision == 'bf16x2':
+        # Keep the GEOMETRY-critical vxt_lo term (subpixel hat weights to
+        # f32 accuracy) but drop win_lo: pixel-value precision beyond bf16
+        # is destroyed anyway by the crop model's bf16 input cast, so the
+        # dropped term costs <=~1 ulp of bf16 at the backbone boundary while
+        # saving one of three MXU passes.
+        win_hi = win2.astype(jnp.bfloat16)
+        vxt_hi = vxt.astype(jnp.bfloat16)
+        vxt_lo = (vxt - vxt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = dotf(win_hi, vxt_hi) + dotf(win_hi, vxt_lo)
     elif precision == 'bf16':
         s = dotf(win2.astype(jnp.bfloat16), vxt.astype(jnp.bfloat16))
     else:  # 'f32'
@@ -255,13 +265,16 @@ def warp_images_with_pyramid_tiled(
     `pyramid_canvas`: optional prebuilt (canvas, level_rows, level_dims) from
     `build_pyramid_canvas` — pass it to amortize the pyramid across chunks
     (when set, `images` may be None).
-    `precision`: 'f32' | 'bf16x3' | 'bf16' (module docstring), also accepts
-    jax.lax.Precision.HIGHEST ('f32') / .DEFAULT ('bf16') for compatibility.
+    `precision`: 'f32' | 'bf16x3' | 'bf16x2' | 'bf16' (module docstring),
+    also accepts jax.lax.Precision.HIGHEST ('f32') / .DEFAULT ('bf16') for
+    compatibility.
     """
     if precision in (jax.lax.Precision.HIGHEST, 'highest', 'f32'):
         precision = 'f32'
     elif precision in (jax.lax.Precision.HIGH, 'high', 'bf16x3'):
         precision = 'bf16x3'
+    elif precision == 'bf16x2':
+        precision = 'bf16x2'
     else:
         precision = 'bf16'
     oh, ow = output_shape

@@ -252,11 +252,21 @@ def estimate_poses_batched_fn(
                 crop_scales=crop_scales.reshape(-1) * antialias_factor,
                 image_ids=jnp.tile(ids_c, (num_aug,)),
                 output_shape=(out_side, out_side))
+            # Precision resolution: with a bf16 crop model, 'high' runs the
+            # 2-pass kernel — the dropped win_lo MXU pass carries only
+            # pixel-VALUE precision beyond bf16, which the .astype(bf16)
+            # cast below destroys anyway (the geometry-critical subpixel
+            # hat-weight term is kept). Measured 0.204 vs 0.266 ms/crop with
+            # max|err| 2.0e-3 = 1 ulp of bf16 on [0,1] pixels.
+            warp_precision = cfg.warp_precision
+            if (warp_precision == 'high'
+                    and jnp.dtype(cfg.dtype) == jnp.bfloat16):
+                warp_precision = 'bf16x2'
             if backend.startswith('tiled'):
                 crops = warp_pallas.warp_images_with_pyramid_tiled(
                     None, pyramid_canvas=pyramid_canvas,
                     interpret=backend == 'tiled-interpret',
-                    precision=cfg.warp_precision,
+                    precision=warp_precision,
                     **warp_kwargs)
             else:
                 crops = warp_ops.warp_images_with_pyramid(

@@ -108,6 +108,26 @@ def test_precision_bf16_within_u8_quantization(rng):
     assert np.max(np.abs(got3 - ref)) < np.max(np.abs(got - ref))
 
 
+def test_precision_bf16x2_geometry_accurate(rng):
+    # 2-pass mode: subpixel hat weights keep their f32-accuracy hi/lo split
+    # (geometry), only the pixel-VALUE term drops to single bf16 — error is
+    # bounded by ~1 ulp of bf16 on [0,1] pixels, i.e. well inside the bf16
+    # crop-model input cast that follows it in the estimator.
+    case = _random_case(rng)
+    ref = np.asarray(warp.warp_images_with_pyramid(**case))
+    got2 = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='bf16x2'))
+    np.testing.assert_allclose(got2, ref, atol=4e-3)
+    # It must be a genuinely distinct path: coarser than bf16x3, and finer
+    # than single-pass bf16 (whose geometry weights are bf16-rounded too).
+    got3 = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='bf16x3'))
+    got1 = np.asarray(warp_pallas.warp_images_with_pyramid_tiled(
+        **case, interpret=True, precision='bf16'))
+    assert np.max(np.abs(got3 - ref)) < np.max(np.abs(got2 - ref))
+    assert np.max(np.abs(got2 - ref)) < np.max(np.abs(got1 - ref))
+
+
 def test_precision_enum_compat(rng):
     # jax.lax.Precision values keep working (HIGHEST == 'f32' mode).
     case = _random_case(rng, n_crops=2)
