@@ -66,6 +66,13 @@ def main(argv=None):
     if not per_seq_err:
         raise SystemExit('No ground-truth sequences found.')
     all_err = np.concatenate([np.stack(v) for v in per_seq_err.values()])
+    if not np.any(np.isfinite(all_err)):
+        # Every error is the undetected-person inf placeholder: the
+        # predictions did not overlap the GT at all (wrong --pred-path or
+        # path-format mismatch) — fail loudly instead of printing NaN.
+        raise SystemExit(
+            'No prediction matched any ground-truth frame (all errors are '
+            'the undetected placeholder); check --pred-path contents.')
     thresholds = np.linspace(0, args.threshold_mm, 151)
     out = {
         'pck': float((all_err <= args.threshold_mm).mean() * 100),

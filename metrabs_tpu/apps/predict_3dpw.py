@@ -60,7 +60,7 @@ def complete_track(track, n_frames):
 
 
 def predict_sequence(estimator, frame_paths, poses2d_true, masks, ji2d, ji3d,
-                     *, intrinsic_matrix, args, seq_name=''):
+                     *, intrinsic_matrix, args, pool, seq_name=''):
     import numpy as np
 
     from metrabs_tpu.data.improc import imread
@@ -71,7 +71,6 @@ def predict_sequence(estimator, frame_paths, poses2d_true, masks, ji2d, ji3d,
     n_tracks = poses2d_true.shape[1]
     prev2d = np.zeros((n_tracks, ji3d.n_joints, 2), np.float32)
     tracks = [[] for _ in range(n_tracks)]
-    pool = ThreadPoolExecutor(args.io_threads)
     i_frame = 0
     for start in range(0, n_frames, args.batch_size):
         chunk = frame_paths[start:start + args.batch_size]
@@ -150,6 +149,7 @@ def main(argv=None):
                                            'stcn-pred')
 
     seq_filepaths = sorted(glob.glob(f'{args.root}/sequenceFiles/*/*.pkl'))
+    pool = ThreadPoolExecutor(args.io_threads)  # one pool for the whole run
     for seq_filepath in seq_filepaths:
         seq_name = osp.basename(seq_filepath).split('.')[0]
         split = osp.basename(osp.dirname(seq_filepath))
@@ -176,7 +176,7 @@ def main(argv=None):
         print(f'predicting {seq_name} ({len(frame_paths)} frames)...')
         tracks = predict_sequence(
             estimator, frame_paths, poses2d_true, masks, ji2d, ji3d,
-            intrinsic_matrix=intr, args=args, seq_name=seq_name)
+            intrinsic_matrix=intr, args=args, pool=pool, seq_name=seq_name)
         coords3d = np.array([
             complete_track(t, len(frame_paths)) if t
             else np.full((len(frame_paths), ji3d.n_joints, 3), np.nan)
@@ -185,6 +185,7 @@ def main(argv=None):
         with open(out_path, 'wb') as f:
             pickle.dump(dict(jointPositions=coords3d), f)
         print(f'wrote {out_path}')
+    pool.shutdown()
 
 
 if __name__ == '__main__':

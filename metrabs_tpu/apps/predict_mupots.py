@@ -40,9 +40,9 @@ def main(argv=None):
 
     import numpy as np
 
+    from metrabs_tpu.data.datasets import load_mupots_annotations
     from metrabs_tpu.data.improc import imread
     from metrabs_tpu.io.packaging import load_pose_estimator
-    from metrabs_tpu.utils import matlabfile
 
     estimator = load_pose_estimator(args.package)
     skeleton = 'mpi_inf_3dhp_17'
@@ -52,9 +52,10 @@ def main(argv=None):
     pool = ThreadPoolExecutor(args.io_threads)
     image_relpaths_all = []
     poses_all = []
-    for i_seq in (args.sequences or range(1, 21)):
-        annot_path = osp.join(args.root, f'TS{i_seq}', 'annot.mat')
-        n_frames = matlabfile.load(annot_path)['annotations'].shape[0]
+    # The shared annot.mat parsing point (squeeze curing, missing-file skip).
+    for i_seq, annotations in load_mupots_annotations(
+            args.root, args.sequences):
+        n_frames = annotations.shape[0]
         intr = np.asarray(intrinsics_all[f'TS{i_seq}'], np.float32)
         frame_relpaths = [f'TS{i_seq}/img_{i:06d}.jpg'
                           for i in range(n_frames)]

@@ -83,7 +83,7 @@ def load_mupots_annotations(root: str, sequences=None) -> Iterator:
     the single-person long-sequence case; real MuPoTS sequences have
     hundreds of frames, so a squeezed [1, P] cannot be distinguished but
     does not occur)."""
-    for i_seq in (sequences or range(1, 21)):
+    for i_seq in (range(1, 21) if sequences is None else sequences):
         annot_path = os.path.join(root, f'TS{i_seq}', 'annot.mat')
         if not os.path.exists(annot_path):
             continue

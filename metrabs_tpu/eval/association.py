@@ -156,9 +156,11 @@ def mask_iou(mask1: np.ndarray, mask2: np.ndarray) -> float:
 
 def pose_to_mask(pose2d: np.ndarray, imshape, joint_info: JointInfo,
                  thickness: int, thresh: float = 0.2) -> np.ndarray:
-    """Rasterizes a 2D pose as a thick stick figure into a [h, w] uint8 mask
-    (`predict_tdpw.py:238-250`). pose2d is [J, 2] or [J, 3] (x, y, conf);
-    with confidences, only edges whose both endpoints exceed `thresh` draw."""
+    """Rasterizes a 2D pose as a thick stick figure plus a filled torso
+    polygon into a [h, w] uint8 mask (`predict_tdpw.py:238-255`). pose2d is
+    [J, 2] or [J, 3] (x, y, conf); with confidences, only edges whose both
+    endpoints exceed `thresh` draw, and the torso fills only when all four
+    corner joints (lhip/rhip/rsho/lsho) are confident."""
     import cv2
     result = np.zeros(imshape[:2], dtype=np.uint8)
     if pose2d.shape[1] == 3:
@@ -174,6 +176,16 @@ def pose_to_mask(pose2d: np.ndarray, imshape, joint_info: JointInfo,
             cv2.line(result, tuple(np.round(p1).astype(int)),
                      tuple(np.round(p2).astype(int)), color=1,
                      thickness=thickness)
+    # Torso fill (`predict_tdpw.py:252-255`): the stick figure alone has far
+    # less area than a person, which skews mask IoU; the quad between the hip
+    # and (contralateral-ordered) shoulder joints restores the bulk.
+    ids = joint_info.ids
+    torso_names = ('lhip', 'rhip', 'rsho', 'lsho')
+    if all(name in ids for name in torso_names):
+        torso = [ids[name] for name in torso_names]
+        corners = pose2d[torso, :2]
+        if np.all(is_valid[torso]) and np.all(np.isfinite(corners)):
+            cv2.fillPoly(result, [np.round(corners).astype(np.int32)], 1)
     return result
 
 

@@ -135,6 +135,27 @@ def test_pose_to_mask_draws_edges(rng):
     assert pose_to_mask(pose3, (100, 100), H36M_17, thickness=3).sum() == 0
 
 
+def test_pose_to_mask_fills_torso():
+    # The torso quad (lhip/rhip/rsho/lsho, `predict_tdpw.py:252-255`) must be
+    # FILLED, not just outlined: probe an interior pixel no stick edge
+    # crosses. All non-torso joints sit far away so their edges draw there.
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+    ids = H36M_17.ids
+    pose = np.full((17, 2), 220.0, np.float32)
+    pose[ids['lhip']] = [20, 80]
+    pose[ids['rhip']] = [60, 80]
+    pose[ids['rsho']] = [60, 20]
+    pose[ids['lsho']] = [20, 20]
+    m = pose_to_mask(pose, (256, 256), H36M_17, thickness=1)
+    assert m[50, 30] == 1  # interior, off every drawn edge
+    # One low-confidence torso corner suppresses the fill.
+    conf = np.ones((17, 1), np.float32)
+    conf[ids['lhip']] = 0.0
+    m2 = pose_to_mask(np.concatenate([pose, conf], 1), (256, 256), H36M_17,
+                      thickness=1)
+    assert m2[50, 30] == 0
+
+
 def test_associate_predictions_to_masks_unshuffles(rng):
     from metrabs_tpu.pipeline.skeletons import H36M_17
     pose_a = make_pose2d(rng, [60, 60])
