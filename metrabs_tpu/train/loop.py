@@ -12,6 +12,7 @@ its splits align with the data shards.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
@@ -42,17 +43,21 @@ def create_train_state(model, tx, rng, cfg: ModelConfig,
     dummy_img = jnp.zeros(
         (sample_batch_size, cfg.proc_side, cfg.proc_side, 3),
         jnp.dtype(cfg.dtype))
+    # Both inits are jitted: eager dispatch pays per-op RTT on networked
+    # (axon) TPU runtimes — a large backbone takes minutes eager, seconds
+    # jitted (and optax.init alone is hundreds of zeros_like dispatches).
+    init_fn = jax.jit(functools.partial(model.init, train=False))
     if with_intrinsics:
         dummy_k = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
                            (sample_batch_size, 1, 1))
-        variables = model.init({'params': rng}, dummy_img, dummy_k, train=False)
+        variables = init_fn({'params': rng}, dummy_img, dummy_k)
     else:
-        variables = model.init({'params': rng}, dummy_img, train=False)
+        variables = init_fn({'params': rng}, dummy_img)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(
         step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
-        opt_state=tx.init(params), ema_params=params)
+        opt_state=jax.jit(tx.init)(params), ema_params=params)
 
 
 def load_affine_weights(path: str) -> Dict[str, Any]:

@@ -8,6 +8,10 @@ that gradients flow correctly through backbone -> heads -> soft-argmax ->
 absolute reconstruction -> losses -> optimizer (no real data needed).
 
   python scripts/overfit_sanity.py [--steps 300] [--platform cpu]
+
+With `--backbone efficientnetv2-s --platform ''` it runs the PRODUCTION
+configuration (real backbone, 256px bf16 crops, remat, adamw+EMA) on the
+attached TPU — the on-hardware training-convergence record in PARITY.md.
 """
 
 import argparse
@@ -20,8 +24,13 @@ sys.path.insert(0, '/root/repo')
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type=int, default=300)
-    parser.add_argument('--platform', default='cpu')
+    parser.add_argument('--platform', default='cpu',
+                        help="'' keeps the default (TPU if attached)")
     parser.add_argument('--n-examples', type=int, default=32)
+    parser.add_argument('--backbone', default='tiny',
+                        help="'tiny' or a builder name like "
+                             "'efficientnetv2-s' (implies 256px bf16)")
+    parser.add_argument('--proc-side', type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -40,8 +49,15 @@ def main():
     from metrabs_tpu.pipeline.skeletons import H36M_17, LSP_14
     from metrabs_tpu.train import loop as loop_mod, optim
 
-    cfg = ModelConfig(proc_side=64, stride_train=32, stride_test=32, depth=4,
-                      n_joints=17, dtype='float32')
+    if args.backbone == 'tiny':
+        cfg = ModelConfig(proc_side=args.proc_side or 64, stride_train=32,
+                          stride_test=32, depth=4, n_joints=17,
+                          dtype='float32')
+    else:
+        # Production configuration: real backbone, bf16 compute, remat.
+        cfg = ModelConfig(proc_side=args.proc_side or 256, depth=8,
+                          n_joints=17, dtype='bfloat16',
+                          backbone=args.backbone)
     tcfg = TrainConfig(training_steps=args.steps, base_learning_rate=1e-3,
                        absloss_start_step=50)
     rng = np.random.default_rng(0)
@@ -88,7 +104,13 @@ def main():
             [d['coords2d_true'][groups_joints] for d in loaded])),
         joint_validity_mask=jnp.ones((args.n_examples, 14), bool))
 
-    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=32, dtype=jnp.float32))
+    if args.backbone == 'tiny':
+        backbone = TinyBackbone(width=32, dtype=jnp.float32)
+    else:
+        from metrabs_tpu.models.backbones.builder import build_backbone
+        backbone = build_backbone(args.backbone, dtype=jnp.dtype(cfg.dtype),
+                                  remat=cfg.backbone_remat)
+    model = Metrabs(cfg=cfg, backbone=backbone)
     tx = optim.build_optimizer(tcfg)
     state = loop_mod.create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
     step_fn = jax.jit(loop_mod.make_train_step(model, tx, H36M_17, LSP_14,
@@ -99,8 +121,9 @@ def main():
         variables = {'params': params}
         if batch_stats:
             variables['batch_stats'] = batch_stats
-        preds = model.apply(variables, batch3d['image'], batch3d['intrinsics'],
-                            train=False)
+        preds = model.apply(
+            variables, batch3d['image'].astype(jnp.dtype(cfg.dtype)),
+            batch3d['intrinsics'], train=False)
         return compute_pose3d_metrics(
             preds, batch3d['coords3d_true'], batch3d['joint_validity_mask'])
 
