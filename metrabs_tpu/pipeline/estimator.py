@@ -409,6 +409,9 @@ class PoseEstimator:
         self.skeletons = skeleton_registry or SkeletonRegistry(joint_info)
         self.per_skeleton_joint_names = self.skeletons.per_skeleton_joint_names
         self.per_skeleton_joint_edges = self.skeletons.per_skeleton_joint_edges
+        # docs/API.md names this attribute `per_skeleton_edges`, the code
+        # surface `per_skeleton_joint_edges`; expose both.
+        self.per_skeleton_edges = self.per_skeleton_joint_edges
         if bone_mean_lengths is None:
             if joint_info.edges == self.skeletons.model_joint_info.edges and \
                     len(joint_info.edges) == len(H36M_17_MEAN_BONES_MM):

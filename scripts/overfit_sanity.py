@@ -23,7 +23,11 @@ sys.path.insert(0, '/root/repo')
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--steps', type=int, default=300)
+    # 900 steps: the 2x-improvement bar with margin (measured on this
+    # environment's jax 0.9: 300 steps reaches only 1.6x, 900 reaches 2.1x
+    # with the loss still descending — the exponential-decay schedule length
+    # scales with --steps, so more steps also means a slower early decay).
+    parser.add_argument('--steps', type=int, default=900)
     parser.add_argument('--platform', default='cpu',
                         help="'' keeps the default (TPU if attached)")
     parser.add_argument('--n-examples', type=int, default=32)

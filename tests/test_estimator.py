@@ -114,6 +114,9 @@ def test_skeleton_selection(estimator, test_data):
     np.testing.assert_allclose(
         np.asarray(out_full['poses3d']), np.asarray(out_h36m['poses3d']), atol=1e-6)
     assert estimator.per_skeleton_joint_names['h36m_17'][0] == 'pelv'
+    # The reference docs name the edge attribute `per_skeleton_edges`
+    # (docs/API.md "Attributes"); both spellings must resolve.
+    assert estimator.per_skeleton_edges == estimator.per_skeleton_joint_edges
 
 
 def test_single_image_wrapper_compacts(estimator, test_data):

@@ -221,3 +221,13 @@ def test_eval_3dhp(tmp_path, rng):
     assert out['n_frames'] == 3
     assert out['mpjpe'] < 1e-3
     assert abs(out['per_seq_pck']['TS1'] - 100 * 2 / 3) < 1e-6
+
+    # Zero overlap between predictions and GT (wrong path format) must fail
+    # loudly instead of printing NaN mpjpe.
+    np.savez(tmp_path / 'wrong.npz',
+             image_path=np.array(['TSX/imageSequence/img_000001.jpg']),
+             coords3d_pred_world=gt[:1])
+    import pytest
+    with pytest.raises(SystemExit, match='No prediction matched'):
+        eval_3dhp.main(['--pred-path', str(tmp_path / 'wrong.npz'),
+                        '--root', str(root)])
