@@ -117,6 +117,27 @@ def main():
     # minutes over the axon tunnel; cached runs start in seconds.
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    # Backend-init watchdog: when the axon tunnel is down, jax.devices()
+    # blocks forever inside backend setup (observed 2026-08-17). A healthy
+    # init takes seconds; bound it so a dead tunnel yields a fast, clearly
+    # attributed nonzero exit instead of an indefinite hang. No JSON line is
+    # printed on failure — a zero-valued record would read as a perf
+    # regression rather than an infrastructure error.
+    import threading
+    init_done = threading.Event()
+
+    def _watchdog():
+        timeout = int(os.environ.get('BENCH_INIT_TIMEOUT', '300'))
+        if not init_done.wait(timeout):
+            print(f'bench: TPU backend init did not complete within '
+                  f'{timeout}s (tunnel unavailable?); aborting',
+                  file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    init_done.set()
     import jax.numpy as jnp
     import numpy as np
 
