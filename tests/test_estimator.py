@@ -119,6 +119,26 @@ def test_skeleton_selection(estimator, test_data):
     assert estimator.per_skeleton_edges == estimator.per_skeleton_joint_edges
 
 
+def test_antialias_factor(estimator, test_data):
+    """antialias_factor=2 supersamples the crop 2x then average-pools back
+    (`multiperson_model.py` antialias_factor semantics). The pose output
+    must keep its shape/finiteness, and on natural images stay close to the
+    factor-1 result (the crop changes only at aliasing-level detail)."""
+    images, boxes, box_valid = test_data
+    out1 = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1, antialias_factor=1)
+    out2 = estimator.estimate_poses_batched(
+        images, boxes, box_valid, num_aug=1, antialias_factor=2)
+    p1, p2 = np.asarray(out1['poses3d']), np.asarray(out2['poses3d'])
+    assert p2.shape == p1.shape
+    assert np.all(np.isfinite(p2[box_valid]))
+    # Same model, same geometry: only the resample detail differs. With a
+    # random tiny net the mapping crop->pose is chaotic in absolute terms,
+    # so compare on a generous tolerance relative to the pose scale.
+    scale = np.abs(p1[box_valid]).mean()
+    assert np.abs(p1[box_valid] - p2[box_valid]).mean() < 0.5 * scale
+
+
 def test_single_image_wrapper_compacts(estimator, test_data):
     images, boxes, box_valid = test_data
     out = estimator.estimate_poses(images[0], boxes[0][:2], num_aug=1)
