@@ -20,7 +20,21 @@ import time
 _t0=time.time()
 def tick(msg):
     print(f"[{time.time()-_t0:7.1f}s] {msg}", flush=True)
+
+# Backend-init watchdog: with the tunnel down, jax.devices() blocks forever
+# inside backend setup (healthy init takes seconds). Bound it so the drive
+# fails fast and attributably instead of hanging (same guard as bench.py).
+import threading
+_init_done = threading.Event()
+def _watchdog():
+    timeout = int(os.environ.get('VERIFY_INIT_TIMEOUT', '300'))
+    if not _init_done.wait(timeout):
+        print(f'verify: TPU backend init did not complete within {timeout}s '
+              f'(tunnel unavailable?); aborting', file=sys.stderr, flush=True)
+        os._exit(2)
+threading.Thread(target=_watchdog, daemon=True).start()
 print(jax.devices())
+_init_done.set()
 
 from metrabs_tpu.config import ModelConfig
 from metrabs_tpu.models.backbones.builder import build_backbone
