@@ -317,9 +317,17 @@ def make_train_step_model25d(
     return train_step
 
 
-def make_sharded_train_step(train_step, mesh, donate_state=None):
+def make_sharded_train_step(train_step, mesh, donate_state=None,
+                            state_shardings=None):
     """jit the train step with batches sharded over the mesh's data axis and
     state replicated; XLA inserts the gradient psum over ICI.
+
+    `state_shardings` (a TrainState-shaped pytree of NamedShardings, e.g.
+    from `parallel.mesh.tp_shardings`) opts into tensor parallelism: large
+    kernels live sharded over the mesh's 'model' axis and the updated state
+    comes back with the same placement, so parameters/optimizer moments
+    never materialize unsharded. Default None = fully replicated state
+    (the reference-parity pure-DP configuration).
 
     With `donate_state` the input state is DONATED: params/opt_state/EMA
     buffers update in place instead of being copied every step (~3x the
@@ -333,8 +341,9 @@ def make_sharded_train_step(train_step, mesh, donate_state=None):
         donate_state = False
     batch_sh = NamedSharding(mesh, P('data'))
     repl = NamedSharding(mesh, P())
+    state_sh = repl if state_shardings is None else state_shardings
     return jax.jit(
         train_step,
-        in_shardings=(repl, batch_sh, batch_sh, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, batch_sh, batch_sh, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate_state else ())

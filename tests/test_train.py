@@ -153,6 +153,45 @@ def test_sharded_train_step_on_mesh(train_setup, rng):
     assert int(state1.step) == 1
 
 
+def test_tp_sharded_train_step_matches_dp(train_setup, rng):
+    """Tensor-parallel state shardings (kernels split over the 'model' mesh
+    axis) must be numerically equivalent to pure DP — GSPMD inserts the
+    collectives, the math is unchanged. Runs the same step on an (8 data,
+    1 model) and a (4 data, 2 model) mesh and compares updated params."""
+    from metrabs_tpu.parallel import mesh as mesh_mod
+    model, tx, state, step_fn = train_setup
+    batch3d, batch2d = make_batches(rng, n3=8, n2=8)
+
+    mesh_dp = mesh_mod.make_mesh(n_data=8, n_model=1)
+    sharded_dp = loop_mod.make_sharded_train_step(step_fn, mesh_dp)
+    with mesh_dp:
+        state_dp, losses_dp = sharded_dp(
+            state, batch3d, batch2d, jax.random.PRNGKey(2))
+
+    mesh_tp = mesh_mod.make_mesh(n_data=4, n_model=2)
+    # min_size below the tiny net's 3x3x16x16 kernels so the TP path is
+    # actually exercised, not vacuously replicated.
+    state_sh = mesh_mod.tp_shardings(mesh_tp, state, min_size=2048)
+    sharded_tp = loop_mod.make_sharded_train_step(
+        step_fn, mesh_tp, state_shardings=state_sh)
+    with mesh_tp:
+        state_tp, losses_tp = sharded_tp(
+            state, batch3d, batch2d, jax.random.PRNGKey(2))
+
+    # Non-vacuous: at least one parameter leaf really lives sharded over
+    # the model axis.
+    specs = [str(l.sharding.spec)
+             for l in jax.tree_util.tree_leaves(state_tp.params)]
+    assert any('model' in s for s in specs), specs
+
+    np.testing.assert_allclose(
+        float(losses_dp['loss']), float(losses_tp['loss']), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        state_dp.params, state_tp.params)
+
+
 def test_ema_update():
     p = {'w': jnp.ones(3)}
     e = {'w': jnp.zeros(3)}
