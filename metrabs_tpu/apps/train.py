@@ -65,6 +65,14 @@ def parse_args(argv=None):
                    help='multi-host: jax.distributed.initialize() from the '
                         'TPU pod environment; batch sizes are GLOBAL and '
                         'each process loads its local shard')
+    p.add_argument('--model-parallel', type=int, default=1,
+                   help='mesh extent of the model axis: kernels are sharded '
+                        'over it (parallel.mesh.tp_shardings) and the data '
+                        'axis shrinks accordingly. 1 (default) = pure DP, '
+                        'the reference-parity configuration')
+    p.add_argument('--tp-min-size', type=int, default=2 ** 16,
+                   help='smallest kernel (elements) sharded over the model '
+                        'axis; smaller leaves stay replicated')
     p.add_argument('--model-class', default='metrabs',
                    choices=('metrabs', 'metro', 'model25d'),
                    help='crop-model architecture (`main.py:177-180`): '
@@ -241,14 +249,19 @@ def main(argv=None):
         model, tx, jax.random.PRNGKey(args.seed), cfg,
         with_intrinsics=with_intrinsics)
     step_fn = make_step()
-    mesh = mesh_mod.make_mesh()
-    sharded_step = loop_mod.make_sharded_train_step(step_fn, mesh)
+    mesh = mesh_mod.make_mesh(n_model=args.model_parallel)
+    state_shardings = (
+        mesh_mod.tp_shardings(mesh, state, min_size=args.tp_min_size)
+        if args.model_parallel > 1 else None)
+    sharded_step = loop_mod.make_sharded_train_step(
+        step_fn, mesh, state_shardings=state_shardings)
     # Final-phase step with BN frozen in inference mode
     # (`metrabs_tf/main.py:131-134`); switched in by step index below.
     sharded_step_inf = None
     if tcfg.finetune_in_inference_mode:
         sharded_step_inf = loop_mod.make_sharded_train_step(
-            make_step(bn_inference=True), mesh)
+            make_step(bn_inference=True), mesh,
+            state_shardings=state_shardings)
 
     # Checkpoint restore (precedence: load_path > latest > init_path).
     manager = ckpt_mod.make_checkpoint_manager(

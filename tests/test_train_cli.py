@@ -82,3 +82,35 @@ def test_train_cli_model_classes(tmp_path, rng, model_class):
         out = model.apply(variables, x, jnp.eye(3)[None].repeat(2, 0))
     assert out.shape == (2, 17, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_train_cli_model_parallel(tmp_path, rng):
+    """--model-parallel 2: the train CLI over a (data=4, model=2) mesh with
+    kernels actually sharded (tp-min-size below the tiny net's kernels);
+    a few steps must run, checkpoint, and export a loadable package."""
+    from metrabs_tpu.apps import train as train_cli
+    from metrabs_tpu.io.packaging import load_crop_model
+
+    p3, p2 = _write_datasets(tmp_path, rng)
+    ckpt_dir = str(tmp_path / 'ckpt_tp')
+    export_dir = str(tmp_path / 'pkg_tp')
+    train_cli.main([
+        '--ds3d', p3, '--ds2d', p2, '--checkpoint-dir', ckpt_dir,
+        '--backbone', 'tiny', '--proc-side', '64', '--depth', '4',
+        '--batch-size', '8', '--batch-size-2d', '8', '--training-steps', '2',
+        '--workers', '2', '--dtype', 'float32', '--checkpoint-period', '1',
+        '--export-dir', export_dir,
+        '--model-parallel', '2', '--tp-min-size', '2048'])
+
+    def tiny_builder(name, **kwargs):
+        from metrabs_tpu.models.backbones.tiny import TinyBackbone
+        import jax.numpy as jnp
+        return TinyBackbone(width=32, dtype=jnp.float32)
+
+    model, variables, cfg, joint_info, manifest = load_crop_model(
+        export_dir, backbone_builder=tiny_builder)
+    import jax.numpy as jnp
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, x, jnp.eye(3)[None].repeat(2, 0))
+    assert out.shape == (2, 17, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
