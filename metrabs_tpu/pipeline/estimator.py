@@ -379,7 +379,7 @@ class PoseEstimator:
             skeleton_registry: Optional[SkeletonRegistry] = None,
             bone_mean_lengths: Optional[np.ndarray] = None,
             joint_transform_matrix: Optional[np.ndarray] = None,
-            crop_model_state=None, mesh=None):
+            crop_model_state=None, mesh=None, crop_state_shardings=None):
         """`crop_model_fn(crop_state, crops, intrinsics, sample_valid)` with
         the model variables passed via `crop_model_state` (preferred: keeps
         weights out of the compiled program). A legacy 3-argument closure
@@ -389,9 +389,17 @@ class PoseEstimator:
         data-parallel: the image/box batch is sharded over 'data' and model
         state replicated — detect/estimate scale across chips with no other
         changes (the multi-chip serving analogue of the reference's
-        single-node MirroredStrategy, SURVEY §2.10)."""
+        single-node MirroredStrategy, SURVEY §2.10).
+
+        `crop_state_shardings` (a crop_model_state-shaped pytree of
+        NamedShardings, e.g. `parallel.mesh.tp_shardings(mesh, variables)`)
+        additionally opts into tensor-parallel serving: large kernels live
+        split over the mesh's 'model' axis instead of replicated — for
+        backbones too large to replicate per chip. Default None = weights
+        replicated (the usual serving configuration)."""
         self.cfg = cfg
         self._mesh = mesh
+        self._crop_state_sh = crop_state_shardings
         self._aug_cfg = aug_cfg
         self.joint_info = joint_info
         self.detector = detector
@@ -435,12 +443,14 @@ class PoseEstimator:
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 repl = NamedSharding(self._mesh, P())
+                state_sh = (self._crop_state_sh
+                            if self._crop_state_sh is not None else repl)
                 batch = NamedSharding(self._mesh, P('data'))
                 self._jitted[key] = jax.jit(
                     functools.partial(self._core, **static_kwargs),
                     # (crop_state, images, boxes, box_valid, K, dist, ext,
                     #  world_up, fov): batch-dim args sharded, rest replicated.
-                    in_shardings=(repl, batch, batch, batch, batch, batch,
+                    in_shardings=(state_sh, batch, batch, batch, batch, batch,
                                   batch, repl, repl))
             else:
                 self._jitted[key] = jax.jit(
@@ -558,11 +568,13 @@ class PoseEstimator:
                 # 'data', per-frame-slot camera args their first.
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 repl = NamedSharding(self._mesh, P())
+                state_sh = (self._crop_state_sh
+                            if self._crop_state_sh is not None else repl)
                 kb = NamedSharding(self._mesh, P(None, 'data'))
                 b = NamedSharding(self._mesh, P('data'))
                 self._jitted[key] = jax.jit(
                     stream,
-                    in_shardings=(repl, kb, kb, kb, b, b, b, repl, repl))
+                    in_shardings=(state_sh, kb, kb, kb, b, b, b, repl, repl))
             else:
                 self._jitted[key] = jax.jit(stream)
         return self._jitted[key]
@@ -729,9 +741,11 @@ class PoseEstimator:
         and scalars replicated, per-frame args sharded over 'data'."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(self._mesh, P())
+        state_sh = (self._crop_state_sh
+                    if self._crop_state_sh is not None else repl)
         b = NamedSharding(self._mesh, P('data'))
         imgs = NamedSharding(self._mesh, images_spec)
-        return (repl, repl, imgs, repl, repl, b, b, b, repl, repl)
+        return (repl, state_sh, imgs, repl, repl, b, b, b, repl, repl)
 
     def _get_fused_jitted(self, **kw):
         key = ('fused',) + tuple(sorted(kw.items()))

@@ -114,3 +114,38 @@ def test_fused_detect_sharded_over_mesh(rng):
     np.testing.assert_allclose(
         np.asarray(out_s['poses3d'])[valid],
         np.asarray(out_p['poses3d'])[valid], rtol=1e-3, atol=0.5)
+
+
+def test_estimator_tensor_parallel_serving(rng):
+    """crop_state_shardings: weights split over the 'model' mesh axis
+    (tensor-parallel serving) must match replicated-weight DP results —
+    GSPMD only changes placement, not math."""
+    model = Metrabs(cfg=CFG, backbone=TinyBackbone(width=16, dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)), jnp.eye(3)[None])
+
+    def crop_fn(state, c, k, v):
+        return model.apply(state, c, k, train=False, sample_valid=v)
+
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    state_sh = mesh_mod.tp_shardings(mesh, params, min_size=2048)
+    # Non-vacuous: the tiny net's 3x3x16x16 kernels must actually shard.
+    import jax as _jax
+    assert any('model' in str(s.spec)
+               for s in _jax.tree_util.tree_leaves(state_sh))
+    est_tp = PoseEstimator(crop_fn, H36M_17, CFG, crop_model_state=params,
+                           mesh=mesh, crop_state_shardings=state_sh)
+    est_plain = PoseEstimator(crop_fn, H36M_17, CFG, crop_model_state=params)
+
+    images = rng.integers(0, 255, size=(8, 96, 128, 3), dtype=np.uint8)
+    boxes = np.tile(np.array([[[20, 10, 60, 80], [50, 5, 40, 70]]], np.float32),
+                    (8, 1, 1))
+    with mesh:
+        out_tp = est_tp.estimate_poses_batched(
+            images, boxes, num_aug=2, internal_batch_size=64)
+    out_plain = est_plain.estimate_poses_batched(
+        images, boxes, num_aug=2, internal_batch_size=64)
+    p_tp = np.asarray(out_tp['poses3d'])
+    p_plain = np.asarray(out_plain['poses3d'])
+    assert p_tp.shape == (8, 2, 17, 3)
+    np.testing.assert_allclose(p_tp, p_plain, rtol=1e-3, atol=0.5)
