@@ -9,7 +9,7 @@ when too few annotated joints are confident).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 import scipy.optimize
@@ -95,63 +95,12 @@ def associate_sequence(
 # segmentation-mask annotations instead of confident 2D keypoints, each
 # prediction is rasterized as a thick stick figure and matched to the
 # annotated person masks by Hungarian assignment over mask IoU. The reference
-# decodes COCO-RLE masks with the external rlemasklib; the equivalent decoder
-# below is first-party (the COCO RLE format is public and ~20 lines).
+# decodes COCO-RLE masks with the external rlemasklib; the first-party codec
+# lives in `utils/rlemask.py` (re-exported here for the established callers).
 
-
-def _decode_rle_counts(data: bytes) -> List[int]:
-    """Decodes the COCO compressed-RLE counts bytestring: 5-bit groups with
-    a continuation bit, offset by 48, runs delta-coded against counts[-2]."""
-    counts: List[int] = []
-    i = 0
-    while i < len(data):
-        x = 0
-        k = 0
-        while True:
-            c = data[i] - 48
-            x |= (c & 0x1F) << (5 * k)
-            i += 1
-            k += 1
-            if not c & 0x20:
-                if c & 0x10:
-                    x |= -1 << (5 * k)
-                break
-        if len(counts) > 2:
-            x += counts[-2]
-        counts.append(x)
-    return counts
-
-
-def decode_rle(rle) -> np.ndarray:
-    """Decodes a COCO RLE dict {'size': [h, w], 'counts': bytes|str|list}
-    to a [h, w] uint8 binary mask (column-major runs, starting with zeros).
-    Dense array input passes through unchanged."""
-    if isinstance(rle, np.ndarray):
-        return rle.astype(np.uint8)
-    h, w = rle['size']
-    counts = rle['counts']
-    if isinstance(counts, str):
-        counts = counts.encode('ascii')
-    if isinstance(counts, (bytes, bytearray)):
-        counts = _decode_rle_counts(bytes(counts))
-    flat = np.zeros(h * w, np.uint8)
-    pos = 0
-    val = 0
-    for run in counts:
-        flat[pos:pos + run] = val
-        pos += run
-        val = 1 - val
-    return flat.reshape((w, h)).T  # column-major layout
-
-
-def mask_iou(mask1: np.ndarray, mask2: np.ndarray) -> float:
-    """IoU of two binary masks (empty-union -> 0, not NaN)."""
-    m1 = mask1.astype(bool)
-    m2 = mask2.astype(bool)
-    union = np.count_nonzero(m1 | m2)
-    if union == 0:
-        return 0.0
-    return float(np.count_nonzero(m1 & m2) / union)
+from metrabs_tpu.data.masks import mask_iou
+from metrabs_tpu.utils.rlemask import _decode_counts as _decode_rle_counts
+from metrabs_tpu.utils.rlemask import decode as decode_rle
 
 
 def pose_to_mask(pose2d: np.ndarray, imshape, joint_info: JointInfo,
