@@ -24,20 +24,28 @@ def get_structuring_element(shape: int, ksize, anchor=None) -> np.ndarray:
 
 
 def erode(mask: np.ndarray, kernel_size, iterations: int = 1) -> np.ndarray:
-    """Elliptical-kernel erosion (`improc.py:293-295`)."""
+    """Elliptical-kernel erosion (`improc.py:293-295`); bool masks
+    round-trip through uint8 (cv2 rejects bool)."""
+    if mask.dtype == bool:
+        return erode(mask.astype(np.uint8), kernel_size, iterations) > 0
     elem = get_structuring_element(cv2.MORPH_ELLIPSE, kernel_size)
     return cv2.morphologyEx(mask, cv2.MORPH_ERODE, elem, iterations=iterations)
 
 
 def dilate(mask: np.ndarray, kernel_size, iterations: int = 1) -> np.ndarray:
-    """Elliptical-kernel dilation (`improc.py:298-300`)."""
+    """Elliptical-kernel dilation (`improc.py:298-300`); bool masks
+    round-trip through uint8 (cv2 rejects bool)."""
+    if mask.dtype == bool:
+        return dilate(mask.astype(np.uint8), kernel_size, iterations) > 0
     elem = get_structuring_element(cv2.MORPH_ELLIPSE, kernel_size)
     return cv2.morphologyEx(mask, cv2.MORPH_DILATE, elem, iterations=iterations)
 
 
 def outline(mask: np.ndarray, d1: int = 1, d2: int = 3) -> np.ndarray:
     """Ring just OUTSIDE the mask: dilate(d2) - dilate(d1)
-    (`improc.py:313-314`)."""
+    (`improc.py:313-314`); bool masks round-trip through uint8."""
+    if mask.dtype == bool:
+        return outline(mask.astype(np.uint8), d1, d2).astype(bool)
     return dilate(mask, d2) - dilate(mask, d1)
 
 
@@ -63,11 +71,19 @@ def largest_connected_component(
     return np.uint8(labels == largest), np.array(stats[largest, :4])
 
 
-def masks_to_label_map(masks: Sequence[np.ndarray]) -> np.ndarray:
+def masks_to_label_map(masks: Sequence[np.ndarray],
+                       imshape=None) -> np.ndarray:
     """Stack of [N, h, w] binary masks -> single [h, w] uint8 label map with
     instance ids 1..N, later instances overwriting earlier ones
-    (`improc.py:303-310`)."""
+    (`improc.py:303-310`). An empty sequence needs `imshape` (h, w) to know
+    the output size; without it that case raises instead of returning a
+    shapeless scalar."""
     masks = np.asarray(masks)
+    if masks.size == 0 and masks.ndim != 3:
+        if imshape is None:
+            raise ValueError(
+                'masks_to_label_map with zero masks needs imshape=(h, w)')
+        return np.zeros(tuple(imshape[:2]), np.uint8)
     label_map = np.zeros(masks.shape[1:3], np.uint8)
     for i, mask in enumerate(masks):
         label_map[mask > 0.5] = i + 1

@@ -180,8 +180,13 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         skeleton_registry = SkeletonRegistry(joint_info, infos)
 
     joint_transform = None
-    jt_path = os.path.join(directory, 'joint_transform.npy')
-    if manifest.get('has_joint_transform') and os.path.exists(jt_path):
+    if manifest.get('has_joint_transform'):
+        jt_path = os.path.join(directory, 'joint_transform.npy')
+        if not os.path.exists(jt_path):
+            # Silently skipping would change the output joint convention.
+            raise FileNotFoundError(
+                f'manifest declares a joint transform but {jt_path} is '
+                f'missing — the package is incomplete')
         joint_transform = np.load(jt_path)
 
     bone_means = (np.asarray(manifest['bone_mean_lengths'], np.float32)

@@ -45,9 +45,18 @@ _DTYPES = {
     9: np.dtype('<i8'),    # DT_INT64
     10: np.dtype('bool'),  # DT_BOOL
     19: np.dtype('<f2'),   # DT_HALF
+    17: np.dtype('<u2'),   # DT_UINT16
     14: np.dtype('<u2'),   # DT_BFLOAT16 (raw uint16; caller reinterprets)
 }
-_DTYPE_CODES = {v: k for k, v in _DTYPES.items()}
+# Write map: uint16 must encode as DT_UINT16, not the DT_BFLOAT16 entry the
+# naive inversion would pick (the reader would then silently reinterpret the
+# integers as bfloat16 bits). Real bfloat16 arrays (ml_dtypes) map to 14.
+_DTYPE_CODES = {v: k for k, v in _DTYPES.items() if k != 14}
+try:
+    import ml_dtypes as _ml_dtypes
+    _DTYPE_CODES[np.dtype(_ml_dtypes.bfloat16)] = 14
+except ImportError:  # pragma: no cover - ml_dtypes ships with jax here
+    pass
 
 
 def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:

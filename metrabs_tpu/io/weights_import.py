@@ -30,13 +30,6 @@ def _conv_kernel(pt_weight: np.ndarray) -> np.ndarray:
     return np.transpose(pt_weight, (2, 3, 1, 0))
 
 
-def _bn(params_dst: Dict, stats_dst: Dict, pt: Dict, prefix: str):
-    params_dst['scale'] = np.asarray(pt[prefix + '.weight'])
-    params_dst['bias'] = np.asarray(pt[prefix + '.bias'])
-    stats_dst['mean'] = np.asarray(pt[prefix + '.running_mean'])
-    stats_dst['var'] = np.asarray(pt[prefix + '.running_var'])
-
-
 def import_effnetv2_from_torch(
         state_dict: Dict[str, Any], flax_variables: Dict,
         backbone_scope: str = 'backbone') -> Dict:

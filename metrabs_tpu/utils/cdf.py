@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 
@@ -133,7 +133,6 @@ class CdfFile:
         shape = [s for s, v in zip(dim_sizes, dim_varys) if v]
         rec_elems = int(np.prod(shape, dtype=np.int64)) * max(num_elems, 1)
         rec_bytes = rec_elems * dtype.itemsize
-        compressed = bool(flags & 4)
 
         n_records = max_rec + 1
         if n_records <= 0:
@@ -200,19 +199,8 @@ def load_cdf(path: str) -> CdfFile:
 
 def write_cdf(path: str, variables: Dict[str, np.ndarray],
               compress_vvr: bool = False, column_major: bool = False) -> None:
-    recs: List[bytes] = []
-    offsets: List[int] = []
-    base = 8
-
-    def add(rec_type: int, body: bytes) -> int:
-        size = 12 + len(body)
-        recs.append(struct.pack('>qi', size, rec_type) + body)
-        off = base + sum(len(r) for r in recs[:-1])
-        offsets.append(off)
-        return off
-
-    # Layout: CDR, GDR, then per variable: zVDR, VXR, VVR/CVVR.
-    # Two passes: compute sizes first by building placeholder bodies.
+    # Layout: CDR, GDR, then per variable: zVDR, VXR, VVR/CVVR, with sizes
+    # computed up front so offsets can be embedded directly into `out`.
     names = list(variables)
 
     # Pre-serialize data payloads.

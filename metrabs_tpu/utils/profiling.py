@@ -33,13 +33,29 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class _StageHandle:
+    """Collects the arrays a timed block produces, to fence at block exit."""
+
+    def __init__(self):
+        self._fences = []
+
+    def fence(self, x):
+        """Registers `x` (array or pytree) for block_until_ready at stage
+        exit and returns it unchanged — wrap the block's jit outputs."""
+        self._fences.append(x)
+        return x
+
+
 class StageTimer:
     """Accumulates wall time per named stage, fencing device async dispatch.
 
-    Usage:
+    jit calls return before the device finishes, so a stage must register
+    its OUTPUTS for fencing — timing the dispatch alone reports ~nothing
+    (CLAUDE.md rule 3). Usage:
+
         timer = StageTimer()
-        with timer.stage('warp'):
-            crops = warp(...)        # traced/jitted work
+        with timer.stage('warp') as s:
+            crops = s.fence(warp(...))   # fenced at block exit
         ...
         print(timer.report())
     """
@@ -49,13 +65,14 @@ class StageTimer:
         self.counts: Dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def stage(self, name: str, fence=None):
+    def stage(self, name: str):
+        handle = _StageHandle()
         start = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if fence is not None:
-                jax.block_until_ready(fence)
+            for x in handle._fences:
+                jax.block_until_ready(x)
             self.totals[name] += time.perf_counter() - start
             self.counts[name] += 1
 

@@ -47,10 +47,11 @@ def plot_poses_3d(poses3d: np.ndarray, edges: Sequence[Tuple[int, int]],
                   image: Optional[np.ndarray] = None,
                   poses2d: Optional[np.ndarray] = None):
     """Static 3D scene of [P, J, 3] millimeter poses; optionally a side panel
-    with the input image + 2D overlay. Returns the matplotlib figure (saved
-    to `out_path` when given)."""
-    import matplotlib
-    matplotlib.use('Agg')
+    with the input image + 2D overlay. With `out_path` the figure is saved
+    AND closed (None is returned) — safe in per-frame loops; without it the
+    open figure is returned and the caller owns closing/showing it. The
+    global backend is never switched: headless matplotlib already
+    auto-selects Agg, and forcing it would break interactive sessions."""
     import matplotlib.pyplot as plt
 
     poses3d = np.asarray(poses3d)
@@ -92,4 +93,5 @@ def plot_poses_3d(poses3d: np.ndarray, edges: Sequence[Tuple[int, int]],
     if out_path:
         fig.savefig(out_path, dpi=110, bbox_inches='tight')
         plt.close(fig)
+        return None
     return fig
