@@ -93,11 +93,17 @@ def reconstruct_ref_fullpersp(
         if sample_valid is None:
             scale = jnp.sqrt(jnp.mean(jnp.square(x)))
         else:
+            # Exclusion must be where-before-square, not multiply-by-mask:
+            # padding crops carry NaN/Inf coords (their warp homography is
+            # singular) and NaN * 0 = NaN would poison the POOLED scale for
+            # every valid sample sharing the chunk.
             mask = jnp.reshape(
                 sample_valid, sample_valid.shape + (1,) * (x.ndim - sample_valid.ndim))
-            mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+            mask = jnp.broadcast_to(mask, x.shape).astype(bool)
+            xm = jnp.where(mask, x, jnp.zeros_like(x))
             scale = jnp.sqrt(
-                jnp.sum(jnp.square(x) * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+                jnp.sum(jnp.square(xm))
+                / jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0))
         scale = jnp.maximum(scale, 1e-10)
         return scale, x / scale
 

@@ -275,8 +275,13 @@ def warp_images_with_pyramid_tiled(
         precision = 'bf16x3'
     elif precision == 'bf16x2':
         precision = 'bf16x2'
-    else:
+    elif precision in (jax.lax.Precision.DEFAULT, 'default', 'bf16'):
         precision = 'bf16'
+    else:
+        # A typo must not silently run the lowest-accuracy kernel.
+        raise ValueError(
+            f'unknown warp precision {precision!r}; expected one of '
+            f"'highest'/'f32', 'high'/'bf16x3', 'bf16x2', 'default'/'bf16'")
     oh, ow = output_shape
     if oh % TR or ow % TC:
         raise ValueError(f'output_shape {output_shape} must tile by {(TR, TC)}')

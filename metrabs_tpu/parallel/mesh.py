@@ -45,6 +45,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stream_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] stream layout: the per-dispatch K axis replicated, the
+    frame-batch axis sharded over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(mesh: Mesh, tree):
     """Places every array in the tree with its leading axis sharded."""
     return jax.device_put(tree, batch_sharding(mesh))

@@ -38,6 +38,7 @@ from metrabs_tpu.ops import distortion as distortion_ops
 from metrabs_tpu.ops import rotation as rotation_ops
 from metrabs_tpu.ops import warp as warp_ops
 from metrabs_tpu.ops import warp_pallas
+from metrabs_tpu.parallel import mesh as mesh_helpers
 from metrabs_tpu.pipeline import plausibility
 from metrabs_tpu.pipeline import tta as tta_mod
 from metrabs_tpu.pipeline.skeletons import SkeletonRegistry
@@ -157,12 +158,16 @@ def estimate_poses_batched_fn(
         up_flat = jnp.repeat(camspace_up, max_boxes, axis=0)
         compaction_order = jnp.argsort(jnp.logical_not(valid_flat),
                                        stable=True)
-        boxes_flat = boxes_flat[compaction_order]
-        valid_flat = valid_flat[compaction_order]
-        image_ids = image_ids[compaction_order]
-        k_flat = k_flat[compaction_order]
-        dist_flat = dist_flat[compaction_order]
-        up_flat = up_flat[compaction_order]
+        inv_compaction = jnp.argsort(compaction_order)
+        # Only the chunk loop consumes the compacted copies; k_flat/dist_flat
+        # keep ORIGINAL order for the downstream 2D projection (so only the
+        # poses need un-compacting after prediction).
+        boxes_c_flat = boxes_flat[compaction_order]
+        valid_c_flat = valid_flat[compaction_order]
+        image_ids_c = image_ids[compaction_order]
+        k_c_flat = k_flat[compaction_order]
+        dist_c_flat = dist_flat[compaction_order]
+        up_c_flat = up_flat[compaction_order]
 
         # TTA schedules (static; numpy at trace time).
         tta = tta_mod.make_tta_params(num_aug, spec.aug_cfg)
@@ -204,7 +209,7 @@ def estimate_poses_batched_fn(
             images_lin = (images.astype(jnp.float32) / np.float32(255.0)) ** 2.2
 
         R_noaug, box_scales = _get_new_rotation_and_scale(
-            k_flat, dist_flat, up_flat, boxes_flat, valid_flat, res)
+            k_c_flat, dist_c_flat, up_c_flat, boxes_c_flat, valid_c_flat, res)
 
         def predict_chunk(chunk):
             """One internal batch: warp + crop-model forward for all augs of a
@@ -292,8 +297,8 @@ def estimate_poses_batched_fn(
                 'anjc,anck->anjk', poses, R, precision='highest')
             return jnp.transpose(poses_orig_cam, (1, 0, 2, 3))  # [n, A, J, 3]
 
-        chunk_inputs = (k_flat, dist_flat, boxes_flat, R_noaug, box_scales,
-                        image_ids, valid_flat)
+        chunk_inputs = (k_c_flat, dist_c_flat, boxes_c_flat, R_noaug,
+                        box_scales, image_ids_c, valid_c_flat)
         # internal_batch_size < num_aug means chunking cannot help; run one
         # fused batch like the reference's boxes_per_batch==0 fallback
         # (`multiperson_model.py:254-259`).
@@ -314,11 +319,9 @@ def estimate_poses_batched_fn(
             poses3d_flat = poses3d_flat.reshape(
                 (n_chunks * boxes_per_chunk,) + poses3d_flat.shape[2:])[:n_total]
 
-        # Undo the valid-first compaction; every per-box array downstream
-        # (k_flat, dist_flat for projection) is used in ORIGINAL order.
-        poses3d_flat = poses3d_flat[jnp.argsort(compaction_order)]
-        k_flat = k_flat[jnp.argsort(compaction_order)]
-        dist_flat = dist_flat[jnp.argsort(compaction_order)]
+        # Undo the valid-first compaction on the poses; k_flat/dist_flat for
+        # the projection below were never compacted (original order).
+        poses3d_flat = poses3d_flat[inv_compaction]
 
         if joint_transform_matrix is not None:
             poses3d_flat = jnp.einsum(
@@ -421,8 +424,14 @@ class PoseEstimator:
         # surface `per_skeleton_joint_edges`; expose both.
         self.per_skeleton_edges = self.per_skeleton_joint_edges
         if bone_mean_lengths is None:
-            if joint_info.edges == self.skeletons.model_joint_info.edges and \
-                    len(joint_info.edges) == len(H36M_17_MEAN_BONES_MM):
+            # The built-in mean-bone table is ONLY valid for the h36m_17
+            # convention it was measured on — match by joint names+edges,
+            # not edge count (any 16-edge skeleton would alias, and its
+            # differently-ordered edges would be checked against the wrong
+            # priors in the plausibility filter).
+            from metrabs_tpu.pipeline.skeletons import H36M_17
+            if (tuple(joint_info.names) == tuple(H36M_17.names)
+                    and tuple(joint_info.edges) == tuple(H36M_17.edges)):
                 bone_mean_lengths = H36M_17_MEAN_BONES_MM
             else:
                 bone_mean_lengths = np.full(len(joint_info.edges), 300.0, np.float32)
@@ -441,11 +450,10 @@ class PoseEstimator:
         key = tuple(sorted(static_kwargs.items()))
         if key not in self._jitted:
             if self._mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                repl = NamedSharding(self._mesh, P())
+                repl = mesh_helpers.replicated(self._mesh)
                 state_sh = (self._crop_state_sh
                             if self._crop_state_sh is not None else repl)
-                batch = NamedSharding(self._mesh, P('data'))
+                batch = mesh_helpers.batch_sharding(self._mesh)
                 self._jitted[key] = jax.jit(
                     functools.partial(self._core, **static_kwargs),
                     # (crop_state, images, boxes, box_valid, K, dist, ext,
@@ -566,12 +574,11 @@ class PoseEstimator:
                 # Mirror _get_jitted's data-parallel shardings: [K, B, ...]
                 # operands shard their SECOND (frame-batch) axis over
                 # 'data', per-frame-slot camera args their first.
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                repl = NamedSharding(self._mesh, P())
+                repl = mesh_helpers.replicated(self._mesh)
                 state_sh = (self._crop_state_sh
                             if self._crop_state_sh is not None else repl)
-                kb = NamedSharding(self._mesh, P(None, 'data'))
-                b = NamedSharding(self._mesh, P('data'))
+                kb = mesh_helpers.stream_batch_sharding(self._mesh)
+                b = mesh_helpers.batch_sharding(self._mesh)
                 self._jitted[key] = jax.jit(
                     stream,
                     in_shardings=(state_sh, kb, kb, kb, b, b, b, repl, repl))
@@ -739,11 +746,11 @@ class PoseEstimator:
         """Data-parallel in_shardings for the fused arg list (det_vars,
         crop_state, images, thr, nms_thr, K, dist, ext, up, fov): weights
         and scalars replicated, per-frame args sharded over 'data'."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        repl = NamedSharding(self._mesh, P())
+        from jax.sharding import NamedSharding
+        repl = mesh_helpers.replicated(self._mesh)
         state_sh = (self._crop_state_sh
                     if self._crop_state_sh is not None else repl)
-        b = NamedSharding(self._mesh, P('data'))
+        b = mesh_helpers.batch_sharding(self._mesh)
         imgs = NamedSharding(self._mesh, images_spec)
         return (repl, state_sh, imgs, repl, repl, b, b, b, repl, repl)
 

@@ -84,6 +84,15 @@ def make_train_step(
     The two streams are concatenated and run through the backbone+head
     together (`models/metrabs.py:156-212`).
 
+    Step-count semantics under gradient accumulation: state.step counts
+    MICRO-steps, and the loss gates (the 500-step weak-persp warmup,
+    absloss_start_step, teacher_start_step) compare against it UNscaled.
+    This matches the reference exactly — fleras' train_counter also ticks
+    per micro-step and `metrabs_tf/main.py` scales validation/finetune
+    windows by grad_accum_steps but not these gates — so configs written
+    for the reference transfer unchanged; scale the gate values yourself
+    if you want them in units of optimizer updates.
+
     With `bn_inference` the forward pass runs in inference mode — BatchNorm
     consumes the frozen moving statistics (batch_stats never update) and
     dropout/stochastic depth are off — while gradients still flow; this is
@@ -194,7 +203,8 @@ def make_train_step(
                 preds_abs, preds_abs_2d, batch3d, batch2d, index_groups,
                 cfg=cfg, tcfg=tcfg, step=state.step,
                 reconstruction_weights=(
-                    w_enc @ w_dec if tcfg.regularize_to_manifold else None))
+                    jnp.matmul(w_enc, w_dec, precision='highest')
+                    if tcfg.regularize_to_manifold else None))
             return losses['loss'], (mutated, losses)
 
         return _apply_gradients(state, loss_fn, tx, tcfg)
@@ -335,12 +345,12 @@ def make_sharded_train_step(train_step, mesh, donate_state=None,
     collectives crash with donated replicated operands on the virtual mesh,
     and the axon-tunneled TPU backend rejects donation (InvalidArgument,
     measured 2026-08); enable on directly-attached TPU runtimes."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from metrabs_tpu.parallel import mesh as mesh_helpers
 
     if donate_state is None:
         donate_state = False
-    batch_sh = NamedSharding(mesh, P('data'))
-    repl = NamedSharding(mesh, P())
+    batch_sh = mesh_helpers.batch_sharding(mesh)
+    repl = mesh_helpers.replicated(mesh)
     state_sh = repl if state_shardings is None else state_shardings
     return jax.jit(
         train_step,

@@ -173,7 +173,7 @@ def compute_losses_latents_and_all(
     encode/decode autoencoder."""
     w_dec = recombination_weights                        # [L, J]
     w_enc = encoder_weights                              # [J, L]
-    w_rec = w_enc @ w_dec                                # [J, J]
+    w_rec = jnp.matmul(w_enc, w_dec, precision='highest')  # [J, J]
 
     def comb(x, w):
         return jnp.einsum('bjc,jJ->bJc', x, w, precision='highest')

@@ -25,12 +25,12 @@ import optax
 from metrabs_tpu.config import TrainConfig
 
 
-def lr_schedule(tcfg: TrainConfig) -> Callable:
-    """Two-phase exponential decay (`main.py:241-256`): decay to 1/3 over the
-    first 92% of training, then from base/30 with decay rate 0.3 over the
-    remaining 8%."""
+def _two_phase_schedule(tcfg: TrainConfig, phase1_fraction: float) -> Callable:
+    """Two-phase exponential decay: to base/3 over the first
+    `phase1_fraction` of training, then from base/30 with decay rate 0.3
+    over the remainder."""
     total = tcfg.training_steps
-    n1 = 0.92 * total
+    n1 = phase1_fraction * total
     n2 = total - n1
     b = tcfg.base_learning_rate
 
@@ -41,23 +41,17 @@ def lr_schedule(tcfg: TrainConfig) -> Callable:
         return jnp.where(step < n1, phase1, phase2)
 
     return schedule
+
+
+def lr_schedule(tcfg: TrainConfig) -> Callable:
+    """Training LR (`main.py:241-256`): phase switch at 92% of training."""
+    return _two_phase_schedule(tcfg, 0.92)
 
 
 def lr_schedule_finetune_high(tcfg: TrainConfig) -> Callable:
     """Head LR for dual-LR fine-tuning (`main.py:258-273`): phase switch at
     50% of training."""
-    total = tcfg.training_steps
-    n1 = 0.5 * total
-    n2 = total - n1
-    b = tcfg.base_learning_rate
-
-    def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        phase1 = b * (1 / 3) ** (step / n1)
-        phase2 = (b / 30) * 0.3 ** ((step - n1) / n2)
-        return jnp.where(step < n1, phase1, phase2)
-
-    return schedule
+    return _two_phase_schedule(tcfg, 0.5)
 
 
 def lr_schedule_finetune_low(tcfg: TrainConfig) -> Callable:

@@ -253,3 +253,25 @@ def test_estimate_poses_stream_matches_batched(estimator, rng):
         np.testing.assert_allclose(
             np.asarray(out_s['poses3d'])[k], np.asarray(out_b['poses3d']),
             rtol=1e-4, atol=0.5)
+
+
+def test_partially_padded_tail_chunk_stays_finite(estimator):
+    """Valid boxes sharing a chunk with zero-pad entries must stay finite:
+    pad entries have singular warp homographies whose NaN crops used to
+    poison the chunk-pooled RMS scale inside reconstruct_ref_fullpersp
+    (NaN * 0 = NaN), silently NaN-ing REAL detections in the tail chunk.
+    Repro: 6 valid boxes, num_aug=2, internal_batch_size=8 -> 4 boxes per
+    chunk, last chunk = 2 valid + 2 pad."""
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, size=(1, 96, 128, 3), dtype=np.uint8)
+    boxes = np.array([[[10, 10, 40, 70], [30, 5, 50, 80], [60, 20, 40, 60],
+                       [5, 15, 30, 70], [40, 10, 45, 75], [70, 8, 35, 65]]],
+                     np.float32)
+    out_chunked = estimator.estimate_poses_batched(
+        images, boxes, num_aug=2, internal_batch_size=8)
+    out_whole = estimator.estimate_poses_batched(
+        images, boxes, num_aug=2, internal_batch_size=64)
+    p_chunked = np.asarray(out_chunked['poses3d'])
+    assert np.all(np.isfinite(p_chunked)), 'tail-chunk poses went non-finite'
+    np.testing.assert_allclose(
+        p_chunked, np.asarray(out_whole['poses3d']), rtol=2e-3, atol=1.0)
