@@ -27,6 +27,13 @@ def roundrobin_iterate(
     """Yields examples so every consecutive `sum(section_sizes)` block draws
     `section_sizes[i]` items from dataset i (shuffled, looping forever) —
     the reference's round-robin batch composition (`main.py:308-363`)."""
+    for i, lst in enumerate(example_lists):
+        if len(lst) == 0 and i < len(section_sizes) and section_sizes[i] > 0:
+            # An empty cycle would busy-loop forever at the first draw.
+            raise ValueError(
+                f'round-robin section {i} is empty but must contribute '
+                f'{section_sizes[i]} examples per block')
+
     def shuffled_cycle(examples, seed):
         local_rng = np.random.default_rng(seed)
         while True:
@@ -71,6 +78,18 @@ class ParallelBatchLoader:
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Bounded-queue put that aborts when close() is called — a plain
+        put() would block forever on a full queue after the consumer stops,
+        leaking the producer thread and its pool."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self):
         try:
             exhausted = False
@@ -86,19 +105,25 @@ class ParallelBatchLoader:
                     rngs = [np.random.default_rng(next(self._seed_counter))
                             for _ in examples]
                     loaded = list(self._pool.map(self._load_fn, examples, rngs))
-                    self._queue.put(batch_dicts(loaded))
-            self._queue.put(None)
+                    if not self._put(batch_dicts(loaded)):
+                        return
+            self._put(None)
         except Exception as e:  # surface worker errors to the consumer
-            self._queue.put(e)
+            self._put(e)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self._queue.get()
-        if item is None:
+        if self._stop.is_set():
             raise StopIteration
-        if isinstance(item, Exception):
+        item = self._queue.get()
+        if item is None or isinstance(item, Exception):
+            # Terminal either way: the producer exits after posting it, so
+            # mark the stream closed instead of blocking future gets.
+            self._stop.set()
+            if item is None:
+                raise StopIteration
             raise item
         return item
 
@@ -164,14 +189,18 @@ ROUNDROBIN_SECTIONS = {
 
 
 def build_dataset_sections(examples, section_prefixes: Sequence[str]):
-    """Partitions examples into sections by image-path prefix match
-    (`main.py:342-356` equivalent); an example goes to the first section whose
-    prefix occurs in its path."""
+    """Partitions examples into sections by image-path substring match
+    (`main.py:364-373`): an example goes to the FIRST section whose name
+    (exact substring, trailing underscores significant — the reference's
+    routing) occurs in its lowercased path; an unmatched example raises,
+    as in the reference, instead of silently shrinking the dataset."""
     sections = {name: [] for name in section_prefixes}
     for ex in examples:
         path = getattr(ex, 'image_path', '').lower()
         for name in section_prefixes:
-            if name.rstrip('_') in path:
+            if name in path:
                 sections[name].append(ex)
                 break
+        else:
+            raise RuntimeError(f'No section for {path!r}')
     return [sections[name] for name in section_prefixes]

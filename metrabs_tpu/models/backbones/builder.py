@@ -46,6 +46,16 @@ def build_backbone(name: str, *, centered_stride: bool = True,
             base = m.group(1)
             model_name_test = (base if stride_test == 32
                                else f'{base}-stride{stride_test}')
+            # Fail at build time with a clear message, not a KeyError at
+            # first trace: dilated tables exist only for S and L (the two
+            # the reference ships, `effnetv2_configs.py:155-247`).
+            from metrabs_tpu.models.backbones.efficientnet_v2 import \
+                EFFNETV2_PARAMS
+            if model_name_test not in EFFNETV2_PARAMS:
+                raise ValueError(
+                    f'No -stride{stride_test} variant tables for {base!r}; '
+                    f'available: '
+                    f'{sorted(k for k in EFFNETV2_PARAMS if "stride" in k)}')
         return EfficientNetV2(
             model_name=name, model_name_test=model_name_test,
             centered_stride=centered_stride, ghost_splits=ghost_splits,

@@ -151,11 +151,18 @@ class BottleneckBlock(nn.Module):
 class BasicBlock(nn.Module):
     """ResNet-18/34 basic block (`resnet.py:322-390`); GroupNorm per the
     reference's use_group_norm switch (`resnet.py:674-693`
-    stack1_basic_dense)."""
+    stack1_basic_dense).
+
+    `dilation2` is the second 3x3 conv's dilation: the reference applies a
+    test-time correction `dil_out_test * strides_train / strides_test` there
+    (`resnet.py:377-383`) — when a training stride-2 is removed at test
+    time, conv2's grid is 2x denser and its dilation doubles to keep the
+    receptive field. Defaults to `dilation` (the train-graph value)."""
 
     filters: int
     stride: int = 1
     dilation: int = 1
+    dilation2: Optional[int] = None
     bottomright: bool = False
     conv_shortcut: bool = True
     ghost_splits: int = 1
@@ -178,8 +185,10 @@ class BasicBlock(nn.Module):
             name='conv1')(x)
         h = nn.relu(bn('bn1')(h, train))
         h = DenseSameConv(
-            self.filters, 3, stride=1, dilation=self.dilation, use_bias=False,
-            dtype=self.dtype, name='conv2')(h)
+            self.filters, 3, stride=1,
+            dilation=(self.dilation2 if self.dilation2 is not None
+                      else self.dilation),
+            use_bias=False, dtype=self.dtype, name='conv2')(h)
         h = bn('bn2')(h, train)
         return nn.relu(shortcut + h)
 
@@ -264,6 +273,11 @@ class ResNet(nn.Module):
                          else self.output_stride_test)
         strides, dil_in, dil_out, brs = get_strides_and_dilations(
             output_stride, self.centered_stride)
+        # The TRAIN plan's strides also shape the test graph: the reference's
+        # basic-block conv2 test dilation is dil_out_test * strides_train /
+        # strides_test (`resnet.py:377-383`). Equal plans give factor 1.
+        strides_train_plan = get_strides_and_dilations(
+            self.output_stride, self.centered_stride)[0]
 
         bn = _norm_factory(self.use_group_norm, self.dtype, self.ghost_splits)
         if self.remat:
@@ -289,7 +303,12 @@ class ResNet(nn.Module):
                     param_dtype=jnp.float32, name='stem_conv')(h)
         if not v2:
             h = nn.relu(bn('stem_bn')(h, train))
-        if output_stride == 4 and self.centered_stride:
+        # Bottom-right maxpool shift: TEST-graph-only and gated on the test
+        # stride alone (`resnet.py:186-193,666`: bottomright_maxpool_test =
+        # stride_test == 4 inside a TrainTestSwitchLayer whose train branch
+        # is always the symmetric pad — independent of centered_stride).
+        stride_test_eff = self.output_stride_test or self.output_stride
+        if not train and stride_test_eff == 4:
             h = jnp.pad(h, ((0, 0), (0, 2), (0, 2), (0, 0)),
                         constant_values=-jnp.inf)
         else:
@@ -304,15 +323,24 @@ class ResNet(nn.Module):
                     first = b == 0
                     if si == 0:
                         stride, dil, br = 1, dil_in[0], False
-                        conv_short = False if first else False
+                        # Stage 0 of ResNet-18/34 always uses identity
+                        # shortcuts (conv1_shortcut=False, `resnet.py:691`).
+                        conv_short = False
+                        dil2 = dil
                     else:
                         stride = strides[si - 1] if first else 1
                         dil = dil_out[si - 1]
                         br = brs[si - 1] if first else False
                         conv_short = first
+                        # First block's conv2 test-dilation correction
+                        # (`resnet.py:377-383`); with train==test plans the
+                        # factor is 1 and this is just `dil`.
+                        dil2 = (int(dil * strides_train_plan[si - 1]
+                                    / strides[si - 1]) if first else dil)
                     h = maybe_remat(BasicBlock)(
                         filters=filters, stride=stride, dilation=dil,
-                        bottomright=br, conv_shortcut=conv_short,
+                        dilation2=dil2, bottomright=br,
+                        conv_shortcut=conv_short,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
                         use_group_norm=self.use_group_norm,
                         name=f'stage{si}_block{b}')(h, train)

@@ -33,7 +33,8 @@ class NamedModel:
                          rot_aug_360=self.rot_aug_360)
 
 
-# The 13 released configurations (docs/MODELS_6_DATASETS.md:7-19).
+# The released configurations (docs/MODELS_6_DATASETS.md:7-19): the 13 rows
+# of the published table plus the 384px EffNetV2-L serving variant.
 NAMED_MODELS = {m.name: m for m in [
     NamedModel('metrabs_eff2l_y4', 'efficientnetv2-l'),
     NamedModel('metrabs_eff2l_y4_384', 'efficientnetv2-l', proc_side=384),

@@ -201,6 +201,7 @@ def write_cdf(path: str, variables: Dict[str, np.ndarray],
               compress_vvr: bool = False, column_major: bool = False) -> None:
     # Layout: CDR, GDR, then per variable: zVDR, VXR, VVR/CVVR, with sizes
     # computed up front so offsets can be embedded directly into `out`.
+    base = 8  # magic numbers precede the first record
     names = list(variables)
 
     # Pre-serialize data payloads.

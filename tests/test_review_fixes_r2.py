@@ -112,3 +112,119 @@ def test_plot_poses_3d_returns_none_when_saved(tmp_path):
     assert fig is not None
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 second review pass (pipeline / models)
+
+
+def test_roundrobin_empty_section_raises():
+    from metrabs_tpu.data.pipeline import roundrobin_iterate
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match='empty'):
+        next(roundrobin_iterate([[1, 2], []], [1, 1], rng))
+
+
+def test_build_dataset_sections_reference_semantics():
+    """Exact-substring routing (trailing underscore significant) and a
+    RuntimeError for unmatched examples (`main.py:364-373`), instead of
+    silently shrinking the training set."""
+    from metrabs_tpu.data.pipeline import build_dataset_sections
+
+    class Ex:
+        def __init__(self, p):
+            self.image_path = p
+
+    secs = build_dataset_sections(
+        [Ex('/data/h36m_imgs/a.jpg'), Ex('/data/surreal/b.jpg')],
+        ['h36m_', 'surreal'])
+    assert len(secs[0]) == 1 and len(secs[1]) == 1
+    # 'h36m' without the underscore must NOT match the 'h36m_' section.
+    with pytest.raises(RuntimeError, match='No section'):
+        build_dataset_sections([Ex('/data/h36m/subdir/a.jpg')], ['h36m_'])
+
+
+def test_parallel_batch_loader_error_is_terminal_and_close_unblocks():
+    import itertools
+    import time
+    from metrabs_tpu.data.pipeline import ParallelBatchLoader
+
+    def boom(ex, rng):
+        raise RuntimeError('loader failed')
+
+    loader = ParallelBatchLoader(boom, iter(range(8)), batch_size=2,
+                                 n_workers=1)
+    with pytest.raises(RuntimeError, match='loader failed'):
+        next(loader)
+    with pytest.raises(StopIteration):  # terminal, not a hang
+        next(loader)
+
+    # close() must unblock a producer stuck on a full prefetch queue.
+    def ok(ex, rng):
+        return {'x': np.zeros(2, np.float32)}
+
+    loader2 = ParallelBatchLoader(ok, itertools.count(), batch_size=2,
+                                  n_workers=1, prefetch_batches=1)
+    next(loader2)
+    time.sleep(0.3)  # let the producer fill the queue and block in put
+    loader2.close()
+    loader2._thread.join(timeout=5.0)
+    assert not loader2._thread.is_alive()
+
+
+def test_resnet18_stride_switch_conv2_dilation_correction(rng):
+    """rn18 stride_train=32/stride_test=16: the reference's test graph runs
+    the affected stage's conv2 at dilation dil_out_test*strides/strides_test
+    = 4 (`resnet.py:377-383`) — NOT the dilation-2 a natively-built stride-16
+    plan uses. Same weights, same input: the two eval graphs must differ,
+    while the train graph matches the native stride-32 one."""
+    import jax
+    import jax.numpy as jnp
+    from metrabs_tpu.models.backbones.resnet import ResNet
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    m_split = ResNet(depth=18, output_stride=32, output_stride_test=16,
+                     dtype=jnp.float32)
+    m_native16 = ResNet(depth=18, output_stride=16, dtype=jnp.float32)
+    m_native32 = ResNet(depth=18, output_stride=32, dtype=jnp.float32)
+    params = m_split.init(jax.random.PRNGKey(0), x)
+
+    out_split_eval = m_split.apply(params, x, train=False)
+    out_native16 = m_native16.apply(params, x, train=False)
+    assert out_split_eval.shape == (1, 4, 4, 512)  # stride 16 at test
+    assert out_native16.shape == (1, 4, 4, 512)
+    # conv2 dilation 4 vs 2 in the last stage: outputs must differ.
+    assert float(jnp.max(jnp.abs(out_split_eval - out_native16))) > 1e-4
+
+    out_split_train = m_split.apply(
+        params, x, train=True, mutable=['batch_stats'])[0]
+    out_native32_train = m_native32.apply(
+        params, x, train=True, mutable=['batch_stats'])[0]
+    np.testing.assert_allclose(np.asarray(out_split_train),
+                               np.asarray(out_native32_train), atol=1e-5)
+
+
+def test_resnet_stride4_maxpool_shift_test_graph_only(rng):
+    """The bottom-right maxpool shift belongs to the TEST graph when the
+    effective test stride is 4, independent of centered_stride
+    (`resnet.py:186-193,666`); the train graph always pads symmetrically."""
+    import jax
+    import jax.numpy as jnp
+    from metrabs_tpu.models.backbones.resnet import ResNet
+
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    # centered_stride=False still shifts at stride_test==4
+    m = ResNet(depth=50, output_stride=4, centered_stride=False,
+               dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out_eval = m.apply(params, x, train=False)
+    assert out_eval.shape[1] == 8  # 32/4
+    # train graph: symmetric pad regardless -> same code path as stride 32's
+    out_train = m.apply(params, x, train=True, mutable=['batch_stats'])[0]
+    assert out_train.shape[1] == 8
+
+
+def test_builder_rejects_unavailable_effnetv2_stride_tables():
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    with pytest.raises(ValueError, match='stride16'):
+        build_backbone('efficientnetv2-m', stride_test=16)
