@@ -54,9 +54,14 @@ def bench_fused_pipeline():
     det_vars = jax.jit(lambda: det_model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, 416, 416, 3), jnp.float32),
         train=False))()
+    # Weights threaded as jit arguments via crop_model_state (CLAUDE.md
+    # rule 1: a closure would embed them as HLO constants in every compiled
+    # pipeline variant and bloat the remote-compile requests).
     est = PoseEstimator(
-        lambda c, k, v: model.apply(params, c, k, train=False, sample_valid=v),
-        H36M_17, cfg, detector=PersonDetector(det_model, det_vars))
+        lambda state, c, k, v: model.apply(
+            state, c, k, train=False, sample_valid=v),
+        H36M_17, cfg, crop_model_state=params,
+        detector=PersonDetector(det_model, det_vars))
 
     def run(threshold):
         return est.detect_poses_batched(

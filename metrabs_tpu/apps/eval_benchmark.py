@@ -53,10 +53,13 @@ def main(argv=None):
     if args.pred_out:
         save_predictions(args.pred_out, preds)
 
+    from metrabs_tpu.eval.harness import JOINT_SUBSETS
     metrics = evaluate_predictions(
         preds, joint_info=estimator.joint_info,
-        threshold_mm=protocol.pck_threshold_mm
-        if args.benchmark == '3dpw' else 150.0)
+        threshold_mm=protocol.pck_threshold_mm,
+        # e.g. 3DPW's official 14-joint LSP-like protocol subset.
+        joint_subset=(JOINT_SUBSETS[protocol.joint_subset]
+                      if protocol.joint_subset else None))
     print(json.dumps({'benchmark': args.benchmark, **metrics}, indent=2))
 
 

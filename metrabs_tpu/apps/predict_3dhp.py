@@ -35,9 +35,14 @@ def main(argv=None):
     if estimator.detector is None:
         raise ValueError('The 3DHP protocol is detector-driven; the package '
                          'has no detector.')
-    skeleton = ('mpi_inf_3dhp_17'
-                if 'mpi_inf_3dhp_17' in estimator.skeletons.skeleton_names
-                else '')
+    if 'mpi_inf_3dhp_17' not in estimator.skeletons.skeleton_names:
+        # eval_3dhp assumes the 3DHP joint order (pelvis at index 14);
+        # silently emitting the model-native H36M-17 order would produce
+        # garbage PCK/AUC with no shape error.
+        raise ValueError(
+            "the package's skeleton registry lacks 'mpi_inf_3dhp_17', which "
+            'the 3DHP protocol (and eval_3dhp) require')
+    skeleton = 'mpi_inf_3dhp_17'
     sequences = load_3dhp_test_frames(args.root, args.cameras_json)
 
     all_paths = []

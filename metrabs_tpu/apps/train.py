@@ -195,6 +195,15 @@ def main(argv=None):
         'global batch sizes must divide the process count')
     local_bs = args.batch_size // n_proc
     local_bs2 = args.batch_size_2d // n_proc
+    if n_proc > 1:
+        # Every process runs the SAME round-robin order (same seed) and takes
+        # its own slice of each global block — distinct examples per process,
+        # not n_proc augmentation-jittered duplicates of one local stream.
+        from metrabs_tpu.data.pipeline import shard_example_stream
+        it3d = shard_example_stream(
+            it3d, args.batch_size, jax.process_index(), n_proc)
+        it2d = shard_example_stream(
+            it2d, args.batch_size_2d, jax.process_index(), n_proc)
 
     lcfg = LoadConfig()
     loader3 = ParallelBatchLoader(

@@ -53,6 +53,28 @@ def batch_dicts(dicts: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
 
+def shard_example_stream(example_iter: Iterator, global_block: int,
+                         process_index: int, process_count: int) -> Iterator:
+    """Multi-host data sharding: every process runs the SAME round-robin
+    stream (same seed) and consumes only its `global_block/process_count`
+    slice of each global block, so the assembled global batch
+    (make_array_from_process_local_data) holds `global_block` DISTINCT
+    examples with the round-robin composition intact — not process_count
+    duplicates of one local stream."""
+    if global_block % process_count:
+        raise ValueError(
+            f'global block {global_block} must divide process count '
+            f'{process_count}')
+    local = global_block // process_count
+    lo = process_index * local
+    while True:
+        block = list(itertools.islice(example_iter, global_block))
+        if len(block) < global_block:
+            yield from block[lo:lo + local]
+            return
+        yield from block[lo:lo + local]
+
+
 class ParallelBatchLoader:
     """Maps `load_fn(example, rng)` over an example stream with a worker pool
     and yields stacked batches.

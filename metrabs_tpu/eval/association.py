@@ -147,6 +147,10 @@ def associate_predictions_to_masks(
     RLE dicts or dense [h, w] binary arrays (possibly at a different
     resolution than the frame; predictions are rescaled to mask space).
     Returns poses3d ordered per mask [n_masks, J, 3], NaN where unmatched."""
+    if len(masks) == 0:
+        # A frame where the tracker lost everyone: nothing to associate
+        # (np.array([]) would be shape (0,) and crash the shape unpack).
+        return np.full((0, joint_info3d.n_joints, 3), np.nan)
     masks = np.array([decode_rle(m) for m in masks])
     mask_shape = masks.shape[1:3]
     mask_size = np.array([mask_shape[1], mask_shape[0]], np.float32)

@@ -64,9 +64,8 @@ def predict_dataset(
     mirror = jnp.asarray(joint_info.mirror_mapping)
 
     @jax.jit
-    def predict_batch(state, images, intrinsics):
+    def predict_batch(state, images, intrinsics, valid):
         crops = images.astype(jnp.dtype(cfg.dtype))
-        valid = jnp.ones((images.shape[0],), bool)
         poses = crop_model_fn(state, crops, intrinsics, valid)
         if test_time_mirror_aug:
             flipped = crop_model_fn(state, crops[:, :, ::-1], intrinsics, valid)
@@ -81,13 +80,31 @@ def predict_dataset(
     all_valid = []
     all_preds_world = []
     n_done = 0
+    full_bs = min(batch_size, n_total)
     for batch in loader:
         if n_done >= n_total:
             break
         take = min(len(batch['image']), n_total - n_done)
+        images_np = batch['image']
+        intr_np = batch['intrinsics']
+        valid_np = np.ones((full_bs,), bool)
+        if len(images_np) < full_bs:
+            # Pad the trailing partial batch to the compiled shape: a
+            # different batch dimension would recompile predict_batch
+            # (minutes over the tunnel) for a handful of examples. Pad rows
+            # are marked invalid so the crop model's pooled reconstruction
+            # statistics ignore them.
+            pad = full_bs - len(images_np)
+            valid_np[len(images_np):] = False
+            images_np = np.concatenate(
+                [images_np, np.zeros((pad,) + images_np.shape[1:],
+                                     images_np.dtype)])
+            intr_np = np.concatenate(
+                [intr_np, np.tile(np.eye(3, dtype=intr_np.dtype)[None],
+                                  (pad, 1, 1))])
         poses = np.asarray(predict_batch(
-            crop_model_state, jnp.asarray(batch['image']),
-            jnp.asarray(batch['intrinsics'])))
+            crop_model_state, jnp.asarray(images_np),
+            jnp.asarray(intr_np), jnp.asarray(valid_np)))
         for i in range(take):
             # Crop camera -> original camera / world (`main.py:496-507`).
             rot_oc = batch['rot_to_orig_cam'][i]
@@ -108,11 +125,11 @@ def predict_dataset(
 
 @dataclasses.dataclass(frozen=True)
 class EvalProtocol:
-    """Per-benchmark evaluation configuration."""
+    """Per-benchmark evaluation configuration. `joint_subset` names a
+    JOINT_SUBSETS entry the metrics are restricted to (None = all joints)."""
     name: str
     pck_threshold_mm: float = 150.0
-    procrustes: bool = True
-    root_align: bool = True
+    joint_subset: Optional[str] = None
 
 
 # Standard evaluation joint subsets (indices into the h36m_17 model joint
@@ -123,7 +140,8 @@ JOINT_SUBSETS = {
 
 BENCHMARK_PROTOCOLS = {
     # 3DPW: 14-joint (LSP-like) protocol, PCK@50mm also reported.
-    '3dpw': EvalProtocol(name='3dpw', pck_threshold_mm=50.0),
+    '3dpw': EvalProtocol(name='3dpw', pck_threshold_mm=50.0,
+                         joint_subset='lsp_14_of_h36m17'),
     'h36m': EvalProtocol(name='h36m'),
     '3dhp': EvalProtocol(name='3dhp'),
     'mupots': EvalProtocol(name='mupots'),

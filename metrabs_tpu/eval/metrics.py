@@ -82,6 +82,10 @@ def compute_pose3d_metrics(
 
     masked_dist_pa = jnp.where(joint_validity_mask, dist_pa, 0.0)
     max_dist_pa = jnp.max(masked_dist_pa, axis=1)
-    metrics['ncps_auc'] = jnp.mean(auc_score(max_dist_pa, 50.0, threshold_mm))
+    # NCPS-AUC ramp is HARDCODED 50..150 in the reference
+    # (`eval_metrics.py:60`), independent of the PCK threshold — deriving
+    # the upper edge from threshold_mm would divide by zero at the 3DPW
+    # protocol's threshold of 50.
+    metrics['ncps_auc'] = jnp.mean(auc_score(max_dist_pa, 50.0, 150.0))
     metrics['ncps'] = jnp.mean((max_dist_pa <= threshold_mm).astype(jnp.float32))
     return metrics

@@ -228,3 +228,58 @@ def test_builder_rejects_unavailable_effnetv2_stride_tables():
     from metrabs_tpu.models.backbones.builder import build_backbone
     with pytest.raises(ValueError, match='stride16'):
         build_backbone('efficientnetv2-m', stride_test=16)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 third review pass (eval / apps / bench / native)
+
+
+def test_shard_example_stream_partitions_blocks():
+    """Multi-host sharding: processes consume disjoint slices of each global
+    block, so a global batch holds distinct examples, not n_proc duplicates
+    of one local stream."""
+    from metrabs_tpu.data.pipeline import shard_example_stream
+    import itertools
+
+    def stream():
+        return iter(range(100))
+
+    got = [list(itertools.islice(
+        shard_example_stream(stream(), 8, p, 4), 4)) for p in range(4)]
+    # First global block 0..7 split two-per-process, in order.
+    assert got == [[0, 1, 8, 9], [2, 3, 10, 11],
+                   [4, 5, 12, 13], [6, 7, 14, 15]]
+    with pytest.raises(ValueError, match='divide'):
+        next(shard_example_stream(stream(), 7, 0, 4))
+
+
+def test_ncps_auc_finite_at_pck_threshold_50():
+    """The NCPS-AUC ramp is hardcoded 50..150 like the reference
+    (`eval_metrics.py:60`); deriving it from threshold_mm=50 (3DPW) was
+    0/0 = NaN."""
+    import jax.numpy as jnp
+    from metrabs_tpu.eval.metrics import compute_pose3d_metrics
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(size=(4, 17, 3)).astype(np.float32) * 100)
+    true = pred + 10.0
+    m = compute_pose3d_metrics(pred, true, jnp.ones((4, 17), bool),
+                               threshold_mm=50.0)
+    assert np.isfinite(float(m['ncps_auc']))
+    assert 0.0 <= float(m['ncps_auc']) <= 1.0
+
+
+def test_3dpw_protocol_uses_lsp14_subset():
+    from metrabs_tpu.eval.harness import BENCHMARK_PROTOCOLS, JOINT_SUBSETS
+    p = BENCHMARK_PROTOCOLS['3dpw']
+    assert p.joint_subset == 'lsp_14_of_h36m17'
+    assert len(JOINT_SUBSETS[p.joint_subset]) == 14
+
+
+def test_associate_predictions_to_masks_empty_frame():
+    from metrabs_tpu.eval.association import associate_predictions_to_masks
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+    from metrabs_tpu.utils.joint_info import JointInfo
+    ji = JointInfo(names=tuple(H36M_17.names), edges=tuple(H36M_17.edges))
+    out = associate_predictions_to_masks(
+        np.zeros((2, 17, 3)), np.zeros((2, 17, 2)), (100, 100), [], ji)
+    assert out.shape == (0, 17, 3)
