@@ -23,9 +23,8 @@ from collections import defaultdict
 
 def load_mupots_gt(root: str, sequences=None):
     """Per-(seq, frame) lists of valid [17, 3] camera-space GT poses (mm)."""
-    import numpy as np
-
-    from metrabs_tpu.data.datasets import load_mupots_annotations
+    from metrabs_tpu.data.datasets import (
+        load_mupots_annotations, parse_mupots_person)
 
     gt = {}
     for i_seq, annotations in load_mupots_annotations(root, sequences):
@@ -33,12 +32,9 @@ def load_mupots_gt(root: str, sequences=None):
         for i_frame in range(n_frames):
             poses = []
             for i_person in range(n_people):
-                ann = annotations[i_frame, i_person]
-                if not isinstance(ann, dict):
-                    continue
-                if not np.all(ann.get('isValidFrame', 1)):
-                    continue
-                poses.append(np.asarray(ann['annot3'], np.float32).T)
+                parsed = parse_mupots_person(annotations[i_frame, i_person])
+                if parsed is not None:
+                    poses.append(parsed[0])
             gt[(i_seq, i_frame)] = poses
     return gt
 

@@ -10,7 +10,7 @@ compile-time constant for XLA and functions stay pure.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,10 +60,6 @@ class ModelConfig:
     # single-pass (~4e-3 max pixel error ~= the u8 source quantization,
     # fastest — measure pose delta on trained weights before serving).
     warp_precision: str = 'high'
-
-    @property
-    def num_heatmap_bins(self) -> int:
-        return self.proc_side // self.stride_test
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,14 +137,18 @@ class Camera:
         self.R = np.stack([new_x, new_y, new_z]).astype(np.float32)
 
     def rotate(self, yaw=0.0, pitch=0.0, roll=0.0):
-        """Rotates the camera about its own axes (roll = about optical axis)."""
+        """Rotates the camera about its own axes (roll = about the optical
+        axis). Matches cameralib's `rotate` (euler2mat(-yaw, -pitch, -roll,
+        'ryxz').T = Rz(roll) @ Rx(pitch) @ Ry(yaw) with standard ACTIVE
+        rotation matrices for every axis — a transposed yaw/pitch matrix
+        would pan/tilt in the opposite direction from roll)."""
         def rot(angle, axis):
             c, s = np.cos(angle), np.sin(angle)
             if axis == 'z':
                 return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
             if axis == 'y':
-                return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
-            return np.array([[1, 0, 0], [0, c, s], [0, -s, c]], np.float32)
+                return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
         cam_rot = rot(roll, 'z') @ rot(pitch, 'x') @ rot(yaw, 'y')
         self.R = cam_rot @ self.R
 

@@ -27,8 +27,13 @@ from metrabs_tpu.utils import matlabfile
 
 
 def boxes_from_joints(imcoords: np.ndarray, margin: float = 0.1) -> np.ndarray:
+    """Margin-padded bounding box of the finite joints; the all-invalid case
+    returns the degenerate zero box (loaders skip such examples) instead of
+    crashing on an empty reduction."""
     valid = ~np.any(np.isnan(imcoords), axis=-1)
     pts = imcoords[valid]
+    if pts.shape[0] == 0:
+        return np.zeros(4, np.float32)
     x0, y0 = pts.min(0)
     x1, y1 = pts.max(0)
     w, h = x1 - x0, y1 - y0
@@ -65,7 +70,10 @@ def load_3dpw_examples(
                     continue
                 world = track[i_frame]
                 imcoords = cam.world_to_image(world)
-                if np.all(np.isnan(imcoords)):
+                # Skip when NO joint is fully finite (a pose where every
+                # joint has some NaN coordinate would produce an empty/
+                # degenerate box).
+                if not np.any(np.all(np.isfinite(imcoords), axis=-1)):
                     continue
                 examples.append(Example3D(
                     image_path=img_path, camera=cam,
@@ -101,6 +109,23 @@ def load_mupots_annotations(root: str, sequences=None) -> Iterator:
         yield i_seq, annotations
 
 
+def parse_mupots_person(ann):
+    """Single MuPoTS annot[frame][person] cell -> (camcoords [J,3] mm,
+    imcoords [J,2] px or None) or None when absent/invalid. THE parsing
+    point for the per-person validity semantics — the predict and eval
+    sides must agree on it (`isValidFrame` gate, [3,J]->[J,3] transpose).
+    imcoords is None when the cell has no annot2 (the eval side only needs
+    annot3)."""
+    if not isinstance(ann, dict):
+        return None
+    if not np.all(ann.get('isValidFrame', 1)):
+        return None
+    camcoords = np.asarray(ann['annot3'], np.float32).T
+    imcoords = (np.asarray(ann['annot2'], np.float32).T
+                if 'annot2' in ann else None)
+    return camcoords, imcoords
+
+
 def load_mupots_examples(root: str) -> List[Example3D]:
     """MuPoTS-3D: per-sequence `annot.mat` with annot[frame][person]
     (annot3/univ_annot3 in mm camera space, annot2 pixels, isValidFrame)."""
@@ -118,16 +143,14 @@ def load_mupots_examples(root: str) -> List[Example3D]:
         for i_frame in range(n_frames):
             img_path = os.path.join(seq_dir, f'img_{i_frame:06d}.jpg')
             for i_person in range(n_people):
-                ann = annotations[i_frame, i_person]
-                if isinstance(ann, dict):
-                    if not np.all(ann.get('isValidFrame', 1)):
-                        continue
-                    camcoords = np.asarray(ann['annot3'], np.float32).T
-                    imcoords = np.asarray(ann['annot2'], np.float32).T
-                    examples.append(Example3D(
-                        image_path=img_path, camera=cam,
-                        bbox=boxes_from_joints(imcoords),
-                        world_coords=camcoords))  # camera frame == world here
+                parsed = parse_mupots_person(annotations[i_frame, i_person])
+                if parsed is None or parsed[1] is None:
+                    continue  # the example needs annot2 for its box
+                camcoords, imcoords = parsed
+                examples.append(Example3D(
+                    image_path=img_path, camera=cam,
+                    bbox=boxes_from_joints(imcoords),
+                    world_coords=camcoords))  # camera frame == world here
     return examples
 
 
@@ -150,6 +173,8 @@ def load_npz_examples(path: str, image_root: str = '') -> List[Example3D]:
         world = np.asarray(data['world_coords'][i], np.float32)
         bbox = (np.asarray(bboxes[i], np.float32) if bboxes is not None
                 else boxes_from_joints(cam.world_to_image(world)))
+        if bboxes is None and bbox[2] <= 0:
+            continue  # no finite joint -> degenerate box -> unusable example
         examples.append(Example3D(
             image_path=os.path.join(image_root, str(data['image_path'][i])),
             camera=cam, bbox=bbox, world_coords=world))

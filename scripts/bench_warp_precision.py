@@ -10,9 +10,10 @@ feedback dependency, host readback, (t_N - t_1) differencing.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts._benchlib import feedback, make_crop_homographies, timed_scan
 
 import jax
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
@@ -30,62 +31,14 @@ OUT = 256
 ITERS = 8
 
 
-def timed_scan(fn, args, iters=ITERS, reps=3):
-    def make(n):
-        @jax.jit
-        def run(a):
-            def body(a, _):
-                new_a, sample = fn(a)
-                return new_a, sample
-            _, samples = jax.lax.scan(body, a, None, length=n)
-            return samples
-        return run
-    run_n, run_1 = make(iters), make(1)
-    np.asarray(run_1(args))
-    np.asarray(run_n(args))
-    t1 = min(_t(run_1, args) for _ in range(reps))
-    tn = min(_t(run_n, args) for _ in range(reps))
-    return (tn - t1) / (iters - 1)
-
-
-def _t(fn, args):
-    t0 = time.perf_counter()
-    np.asarray(fn(args))
-    return time.perf_counter() - t0
-
-
 def main():
     print(jax.devices())
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(N_IMG, H, W, 3)), jnp.float32)
-    scales = rng.uniform(0.4, 1.3, size=N_CROPS).astype(np.float32)
-    angles = rng.uniform(-0.44, 0.44, size=N_CROPS).astype(np.float32)
-    cx = rng.uniform(300, W - 300, size=N_CROPS).astype(np.float32)
-    cy = rng.uniform(200, H - 200, size=N_CROPS).astype(np.float32)
     image_ids = jnp.asarray(rng.integers(0, N_IMG, size=N_CROPS), jnp.int32)
-
-    k_old = np.tile(np.array(
-        [[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]], np.float32),
-        (N_CROPS, 1, 1))
-    invproj = np.zeros((N_CROPS, 3, 3), np.float32)
-    for i in range(N_CROPS):
-        c, s = np.cos(angles[i]), np.sin(angles[i])
-        rot = np.array([[c, -s], [s, c]], np.float32)
-        a = rot / scales[i]
-        t = np.array([cx[i], cy[i]]) - a @ np.array([OUT / 2, OUT / 2])
-        m = np.eye(3, dtype=np.float32)
-        m[:2, :2] = a
-        m[:2, 2] = t
-        invproj[i] = np.linalg.inv(k_old[i]) @ m
-    invproj = jnp.asarray(invproj)
-    k_old = jnp.asarray(k_old)
+    k_old, invproj, crop_scales = make_crop_homographies(
+        rng, N_CROPS, W, H, OUT)
     dist = jnp.zeros((N_CROPS, 12), jnp.float32)
-    crop_scales = jnp.asarray(scales)
-
-    def feedback(images, out):
-        fb = (jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-12).astype(
-            images.dtype)
-        return images + fb
 
     @jax.jit
     def oracle(images):

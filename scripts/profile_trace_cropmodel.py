@@ -10,13 +10,12 @@ depthwise/SE fusion is worth building (PARITY.md MFU profile).
 
 import argparse
 import collections
-import glob
-import gzip
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts._tracelib import exclusive_op_durations, load_latest_trace
 
 
 def main():
@@ -61,27 +60,18 @@ def main():
         for _ in range(args.iters):
             np.asarray(fwd(params, image, K))
 
-    # Parse the trace-viewer JSON: aggregate complete events on device lines.
-    paths = sorted(glob.glob(os.path.join(
-        args.outdir, 'plugins/profile/*/*.trace.json.gz')))
-    if not paths:
+    # Parse the trace-viewer JSON. Exclusive durations via _tracelib: the
+    # scan-stacked backbone lowers to a `while` whose parent span CONTAINS
+    # the stage ops on the same thread — raw sums double-count ~2x.
+    events = load_latest_trace(args.outdir)
+    if events is None:
         print('NO TRACE FILES — device profiling unsupported on this runtime')
         return
-    with gzip.open(paths[-1], 'rt') as f:
-        trace = json.load(f)
-    events = trace.get('traceEvents', [])
-    pid_names = {e['pid']: e['args'].get('name', '')
-                 for e in events if e.get('ph') == 'M'
-                 and e.get('name') == 'process_name' and 'args' in e}
-    device_pids = {pid for pid, name in pid_names.items()
-                   if 'TPU' in name or 'tpu' in name.lower()}
-    # Only the leaf op line — module/step lines double-count nested time.
-    op_tids = {(e['pid'], e['tid']) for e in events if e.get('ph') == 'M'
-               and e.get('name') == 'thread_name' and 'args' in e
-               and 'XLA Ops' in e['args'].get('name', '')}
 
     def category(name):
         n = name.lower()
+        if 'while' in n:
+            return 'while bookkeeping (scan overhead)'
         if 'depthwise' in n or ('conv' in n and 'feature_group' in n):
             return 'depthwise-conv'
         if 'convolution' in n or 'conv' in n or 'dot' in n:
@@ -97,13 +87,11 @@ def main():
     totals = collections.Counter()
     by_name = collections.Counter()
     total = 0.0
-    for e in events:
-        if (e.get('ph') == 'X' and e.get('pid') in device_pids
-                and (e['pid'], e.get('tid')) in op_tids):
-            dur = e.get('dur', 0) / 1e3  # us -> ms
-            totals[category(e.get('name', ''))] += dur
-            by_name[e.get('name', '')[:80]] += dur
-            total += dur
+    for name, dur_us in exclusive_op_durations(events):
+        dur = dur_us / 1e3  # us -> ms
+        totals[category(name)] += dur
+        by_name[name[:80]] += dur
+        total += dur
     print(f'total device time: {total:.2f} ms over {args.iters} iters '
           f'({total / args.iters:.2f} ms/iter)')
     for cat, ms in totals.most_common():

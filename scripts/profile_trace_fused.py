@@ -10,13 +10,12 @@ warp kernel, crop-model stages, filtering/etc.
 
 import argparse
 import collections
-import glob
-import gzip
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts._tracelib import exclusive_op_durations, load_latest_trace
 
 
 def main():
@@ -66,50 +65,17 @@ def main():
         for _ in range(args.iters):
             np.asarray(run())
 
-    paths = sorted(glob.glob(os.path.join(
-        args.outdir, 'plugins/profile/*/*.trace.json.gz')))
-    if not paths:
+    # Exclusive durations via _tracelib (nested XLA spans double-count raw).
+    events = load_latest_trace(args.outdir)
+    if events is None:
         print('NO TRACE FILES')
         return
-    with gzip.open(paths[-1], 'rt') as f:
-        trace = json.load(f)
-    events = trace.get('traceEvents', [])
-    pid_names = {e['pid']: e['args'].get('name', '')
-                 for e in events if e.get('ph') == 'M'
-                 and e.get('name') == 'process_name' and 'args' in e}
-    device_pids = {pid for pid, name in pid_names.items()
-                   if 'TPU' in name or 'tpu' in name.lower()}
-    op_tids = {(e['pid'], e['tid']) for e in events if e.get('ph') == 'M'
-               and e.get('name') == 'thread_name' and 'args' in e
-               and 'XLA Ops' in e['args'].get('name', '')}
-
-    # Exclusive durations: XLA emits NESTED spans (a while contains its
-    # cond contains its branch computation) on the same thread; summing raw
-    # durations double-counts parents. Per thread, sort by start time and
-    # subtract each child's duration from its innermost enclosing span.
-    per_tid = collections.defaultdict(list)
-    for e in events:
-        if (e.get('ph') == 'X' and e.get('pid') in device_pids
-                and (e['pid'], e.get('tid')) in op_tids):
-            per_tid[(e['pid'], e['tid'])].append(e)
-    exclusive = []
-    for tid_events in per_tid.values():
-        tid_events.sort(key=lambda e: (e['ts'], -e.get('dur', 0)))
-        stack = []  # (end_ts, index into exclusive)
-        for e in tid_events:
-            ts, dur = e['ts'], e.get('dur', 0)
-            while stack and stack[-1][0] <= ts:
-                stack.pop()
-            if stack:
-                exclusive[stack[-1][1]][1] -= dur  # child time out of parent
-            exclusive.append([e.get('name', ''), dur])
-            stack.append((ts + dur, len(exclusive) - 1))
 
     totals = collections.Counter()
     by_name = collections.Counter()
     total = 0.0
-    for name, dur_us in exclusive:
-            dur = max(dur_us, 0) / 1e3
+    for name, dur_us in exclusive_op_durations(events):
+            dur = dur_us / 1e3
             n = name.lower()
             if 'custom-call' in n or 'pallas' in n or 'warp' in n:
                 cat = 'pallas warp kernel'

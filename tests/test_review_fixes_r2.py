@@ -283,3 +283,43 @@ def test_associate_predictions_to_masks_empty_frame():
     out = associate_predictions_to_masks(
         np.zeros((2, 17, 3)), np.zeros((2, 17, 2)), (100, 100), [], ji)
     assert out.shape == (0, 17, 3)
+
+
+def test_camera_rotate_active_convention():
+    """Camera.rotate uses standard ACTIVE rotation matrices for all three
+    axes (cameralib's Rz(roll)@Rx(pitch)@Ry(yaw)); the old yaw/pitch
+    matrices were transposed, panning/tilting opposite to roll. Pin the
+    directions: +yaw turns the camera left (a point dead ahead moves RIGHT
+    in the image), +pitch tilts it down (the point moves UP)."""
+    from metrabs_tpu.data.camera import Camera
+    K = np.array([[1000.0, 0, 500], [0, 1000.0, 400], [0, 0, 1]], np.float32)
+
+    cam = Camera(intrinsic_matrix=K.copy())
+    ahead = np.array([0.0, 0.0, 5000.0], np.float32)
+    assert np.allclose(cam.world_to_image(ahead), [500, 400], atol=1e-3)
+
+    cam_yaw = Camera(intrinsic_matrix=K.copy())
+    cam_yaw.rotate(yaw=0.2)
+    assert cam_yaw.world_to_image(ahead)[0] > 500 + 50
+
+    cam_pitch = Camera(intrinsic_matrix=K.copy())
+    cam_pitch.rotate(pitch=0.2)
+    assert cam_pitch.world_to_image(ahead)[1] < 400 - 50
+
+    # roll direction unchanged: +roll rotates the image CCW around center,
+    # so a point to the right of center moves down (y grows).
+    cam_roll = Camera(intrinsic_matrix=K.copy())
+    right = np.array([1000.0, 0.0, 5000.0], np.float32)
+    y_before = cam_roll.world_to_image(right)[1]
+    cam_roll.rotate(roll=0.2)
+    assert cam_roll.world_to_image(right)[1] > y_before + 10
+
+
+def test_boxes_from_joints_empty_and_loader_skip():
+    from metrabs_tpu.data.datasets import boxes_from_joints
+    box = boxes_from_joints(np.full((17, 2), np.nan))
+    np.testing.assert_array_equal(box, [0, 0, 0, 0])
+    # partial-NaN pose (every joint has one NaN coord) is also empty
+    pts = np.ones((5, 2), np.float32)
+    pts[:, 0] = np.nan
+    np.testing.assert_array_equal(boxes_from_joints(pts), [0, 0, 0, 0])
