@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p.add_argument('--base-learning-rate', type=float, default=2.121e-4)
     p.add_argument('--grad-accum-steps', type=int, default=1)
     p.add_argument('--ema-momentum', type=float, default=1.0)
+    p.add_argument('--constrain-kernel-norm', type=float,
+                   default=float('inf'),
+                   help='max-norm projection of conv kernels after each '
+                        'update (Keras MinMaxNorm constraint, '
+                        '`builder.py:54-60`); inf (default) = off')
     p.add_argument('--dual-finetune-lr', action='store_true')
     p.add_argument('--ghost-bn-splits', type=int, default=1)
     p.add_argument('--seed', type=int, default=1)
@@ -46,6 +51,13 @@ def parse_args(argv=None):
     p.add_argument('--log-period', type=int, default=100)
     p.add_argument('--load-path', default=None)
     p.add_argument('--init-path', default=None)
+    p.add_argument('--load-backbone-from', default=None,
+                   help='package dir (or crop_model.msgpack): warm-start '
+                        'the backbone from an exported crop model, grafting '
+                        'the source head joints into the last head slots '
+                        '(set_last_point_weights) like the reference '
+                        'backbone warm start (`main.py:186-191`); skipped '
+                        'for --transform-coords, as there')
     p.add_argument('--export-dir', default=None)
     p.add_argument('--dtype', default='bfloat16')
     p.add_argument('--finetune-in-inference-mode', type=int, default=0,
@@ -92,6 +104,57 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def warm_start_backbone(state, path, cfg, apply_head_surgery: bool):
+    """Backbone warm start from an exported crop model (`main.py:186-191`):
+    grafts the source backbone params/batch_stats into the fresh state and,
+    for Metrabs heads, writes the source head's joints into the LAST slots
+    of this model's head (set_last_point_weights) so a bigger-joint-set
+    model can fine-tune from a smaller one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metrabs_tpu.io.checkpoints import load_model_msgpack
+    from metrabs_tpu.models.metrabs import set_last_point_weights
+
+    mp = (os.path.join(path, 'crop_model.msgpack')
+          if os.path.isdir(path) else path)
+    loaded = load_model_msgpack(mp)['variables']
+
+    def graft(dst, collection):
+        src = loaded.get(collection, {})
+        if 'backbone' not in src or not isinstance(dst, dict) \
+                or 'backbone' not in dst:
+            return dst
+        shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(x.shape), t)
+        if shapes(src['backbone']) != shapes(dst['backbone']):
+            raise SystemExit(
+                f'--load-backbone-from: {collection}/backbone tree does not '
+                f'match the configured backbone ({cfg.backbone})')
+        out = dict(dst)
+        out['backbone'] = jax.tree_util.tree_map(jnp.asarray, src['backbone'])
+        return out
+
+    params = graft(state.params, 'params')
+    batch_stats = graft(state.batch_stats, 'batch_stats')
+    if apply_head_surgery:
+        try:
+            conv = loaded['params']['heatmap_heads']['conv_final']
+        except (KeyError, TypeError):
+            conv = None
+            print('load-backbone-from: source has no metrabs head; '
+                  'backbone grafted, head left at init', flush=True)
+        if conv is not None:
+            params = jax.tree_util.tree_map(jnp.asarray, set_last_point_weights(
+                params, np.asarray(conv['kernel']), np.asarray(conv['bias']),
+                depth=cfg.depth, n_points=cfg.n_joints))
+    # EMA tracks params; keep it consistent with the warm-started values
+    # (create_train_state initializes ema_params = params).
+    return dataclasses.replace(
+        state, params=params, batch_stats=batch_stats,
+        ema_params=params if state.ema_params is not None else None)
+
+
 def main(argv=None):
     args = parse_args(argv)
     import jax
@@ -135,7 +198,8 @@ def main(argv=None):
         optimizer_mu_dtype=args.optimizer_mu_dtype,
         transform_coords=args.transform_coords,
         predict_all_and_latents=args.predict_all_and_latents,
-        regularize_to_manifold=args.regularize_to_manifold)
+        regularize_to_manifold=args.regularize_to_manifold,
+        constrain_kernel_norm=args.constrain_kernel_norm)
 
     affine_weights = None
     latent_mode = ''
@@ -257,6 +321,15 @@ def main(argv=None):
     state = loop_mod.create_train_state(
         model, tx, jax.random.PRNGKey(args.seed), cfg,
         with_intrinsics=with_intrinsics)
+    if args.load_backbone_from:
+        # Reference order: warm start at build, checkpoint restore (below)
+        # still takes precedence (`main.py:186-191,393-408`).
+        state = warm_start_backbone(
+            state, args.load_backbone_from, cfg,
+            apply_head_surgery=(args.model_class == 'metrabs'
+                                and not args.transform_coords))
+        print(f'warm-started backbone from {args.load_backbone_from}',
+              flush=True)
     step_fn = make_step()
     mesh = mesh_mod.make_mesh(n_model=args.model_parallel)
     state_shardings = (

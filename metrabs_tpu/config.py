@@ -90,6 +90,11 @@ class TrainConfig:
     weight_decay: float = 3e-3
     ema_momentum: float = 1.0
     grad_accum_steps: int = 1
+    # Max-norm projection of conv kernels after every update (the
+    # reference's Keras MinMaxNorm kernel constraint, `builder.py:54-60`;
+    # its FLAGS.constrain_kernel_norm is undefined in init.py, i.e. off by
+    # default — same here with inf = off).
+    constrain_kernel_norm: float = float('inf')
     dual_finetune_lr: bool = False
     # Dtype of Adam's first-moment accumulator (optax mu_dtype). 'bfloat16'
     # halves that third of optimizer memory (~1/3 of opt state); the

@@ -68,7 +68,10 @@ class LoadConfig:
     full_rot_aug_prob: float = 0.0
     antialias_train: int = 1
     antialias_test: int = 1
+    # Separate train/test interpolation (`init.py:152-153`
+    # image-interpolation-train/-test; 'nearest' can be faster for training).
     interpolation: int = cv2.INTER_LINEAR
+    interpolation_test: int = cv2.INTER_LINEAR
     universal_skeleton: bool = False
     occluder_dir: Optional[str] = None
     background_dir: Optional[str] = None
@@ -156,9 +159,10 @@ def load_and_transform3d(
 
     origsize_im = ex.image if ex.image is not None else improc.imread(ex.image_path)
     antialias = lcfg.antialias_train if is_train else lcfg.antialias_test
+    interp = lcfg.interpolation if is_train else lcfg.interpolation_test
     im = reproject_image(
         origsize_im, camera, cam, output_imshape,
-        antialias_factor=antialias, interp=lcfg.interpolation)
+        antialias_factor=antialias, interp=interp)
 
     # Dataset-specific color fixes (`data_loading.py:124-130`).
     import re
@@ -179,10 +183,10 @@ def load_and_transform3d(
         if (is_train or lcfg.test_aug) and background_rng.random() < bg_prob:
             fgmask = reproject_image(
                 ex.mask.astype(np.float32), camera, cam, output_imshape,
-                antialias_factor=antialias, interp=lcfg.interpolation)
+                antialias_factor=antialias, interp=interp)
             im = bgaug.augment_background(
                 im, fgmask, background_rng, background_dir=lcfg.background_dir,
-                antialias_factor=antialias, interp=lcfg.interpolation)
+                antialias_factor=antialias, interp=interp)
 
     im = augment_appearance(
         im, is_train or lcfg.test_aug, lcfg.occlude_aug_prob, appearance_rng,
@@ -282,9 +286,10 @@ def load_and_transform2d(
     imcoords = reproject_image_points(imcoords, orig_cam, cam)
 
     antialias = lcfg.antialias_train if is_train else lcfg.antialias_test
+    interp = lcfg.interpolation if is_train else lcfg.interpolation_test
     im = reproject_image(
         im_from_file, orig_cam, cam, (cfg.proc_side, cfg.proc_side),
-        antialias_factor=antialias, interp=lcfg.interpolation)
+        antialias_factor=antialias, interp=interp)
 
     if (ex.mask is not None and lcfg.background_aug_prob
             and (is_train or lcfg.test_aug)
@@ -292,10 +297,10 @@ def load_and_transform2d(
         fgmask = reproject_image(
             ex.mask.astype(np.float32), orig_cam, cam,
             (cfg.proc_side, cfg.proc_side), antialias_factor=antialias,
-            interp=lcfg.interpolation)
+            interp=interp)
         im = bgaug.augment_background(
             im, fgmask, background_rng, background_dir=lcfg.background_dir,
-            antialias_factor=antialias, interp=lcfg.interpolation)
+            antialias_factor=antialias, interp=interp)
 
     im = augment_appearance(
         im, is_train or lcfg.test_aug, lcfg.occlude_aug_prob_2d, appearance_rng,

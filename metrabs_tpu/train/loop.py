@@ -220,6 +220,11 @@ def _apply_gradients(state: TrainState, loss_fn, tx,
     grads, (mutated, losses) = jax.grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    if tcfg.constrain_kernel_norm != float('inf'):
+        # Projected constraint AFTER the update, like Keras applies kernel
+        # constraints (`builder.py:54-60` MinMaxNorm on conv kernels).
+        new_params = optim.project_kernel_norms(
+            new_params, tcfg.constrain_kernel_norm)
     new_ema = optim.ema_update(state.ema_params, new_params, tcfg.ema_momentum)
     if tcfg.grad_accum_steps > 1 and tcfg.ema_momentum < 1.0:
         # Under optax.MultiSteps only every k-th micro-step applies an

@@ -67,7 +67,9 @@ def lr_schedule_finetune_low(tcfg: TrainConfig) -> Callable:
 
 
 def _adam(tcfg: TrainConfig, schedule: Callable) -> optax.GradientTransformation:
-    weight_decay = (tcfg.weight_decay / np.sqrt(tcfg.training_steps)
+    # max(1) guards the export-only training_steps=0 case (the decay rate
+    # is never applied then, but inf would still warn at build).
+    weight_decay = (tcfg.weight_decay / np.sqrt(max(tcfg.training_steps, 1))
                     / tcfg.base_learning_rate)
     mu_dtype = (jnp.dtype(tcfg.optimizer_mu_dtype)
                 if getattr(tcfg, 'optimizer_mu_dtype', '') else None)
@@ -106,3 +108,23 @@ def ema_update(ema_params, new_params, momentum: float):
         return new_params
     return jax.tree_util.tree_map(
         lambda e, p: momentum * e + (1.0 - momentum) * p, ema_params, new_params)
+
+
+def project_kernel_norms(params, max_norm: float):
+    """Max-norm projection of conv kernels (the reference's Keras
+    MinMaxNorm(0, max) constraint on EffNetV2 convs, `builder.py:54-60`):
+    any 4D kernel [H, W, I, O] whose per-output-channel norm over (H, W, I)
+    exceeds `max_norm` is rescaled onto the ball. Depthwise kernels
+    ([H, W, 1, C]) reduce over the same axes, matching the reference's
+    axis=[0, 1] depthwise constraint. Non-4D leaves (biases, BN, dense)
+    pass through unchanged, as in Keras where only convs carry the
+    constraint."""
+    def proj(x):
+        if x.ndim != 4:
+            return x
+        norms = jnp.sqrt(jnp.sum(jnp.square(
+            x.astype(jnp.float32)), axis=(0, 1, 2), keepdims=True))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norms, 1e-12))
+        return (x.astype(jnp.float32) * scale).astype(x.dtype)
+
+    return jax.tree_util.tree_map(proj, params)

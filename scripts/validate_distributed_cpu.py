@@ -102,9 +102,25 @@ def worker(process_id: int, port: int):
     checksum = float(sum(
         np.asarray(jax.device_get(l)).astype(np.float64).sum()
         for l in leaves))
+
+    # Data-sharding validation: with the SAME seed, shard_example_stream
+    # (the train.py --distributed wiring) must hand each process a DISJOINT
+    # slice of every global round-robin block — the driver asserts
+    # disjointness + coverage across the two processes' reports.
+    import itertools
+    from metrabs_tpu.data.pipeline import (
+        roundrobin_iterate, shard_example_stream)
+    stream = roundrobin_iterate(
+        [list(range(0, 100)), list(range(100, 200))], [2, 2],
+        np.random.default_rng(42))
+    local_ids = list(itertools.islice(
+        shard_example_stream(stream, 8, jax.process_index(),
+                             jax.process_count()), 12))
+
     print(json.dumps({'process': process_id,
                       'loss': float(losses['loss']),
-                      'checksum': checksum}), flush=True)
+                      'checksum': checksum,
+                      'example_ids': local_ids}), flush=True)
     jax.distributed.shutdown()
 
 
@@ -155,6 +171,12 @@ def main():
     print(f'losses: {l0:.6f} / {l1:.6f}   checksums: {c0:.6f} / {c1:.6f}')
     assert c0 == c1, 'replicated params diverged across processes!'
     assert l0 == l1, 'loss (psum-averaged metric) differs across processes!'
+    ids0, ids1 = (results[i]['example_ids'] for i in range(N_PROC))
+    assert not set(ids0) & set(ids1), (
+        f'example streams overlap across processes: {ids0} / {ids1}')
+    assert len(set(ids0)) == len(ids0) and len(set(ids1)) == len(ids1), (
+        'duplicate examples within a process slice')
+    print(f'example streams disjoint: p0={ids0[:6]}... p1={ids1[:6]}...')
     print('DISTRIBUTED CPU VALIDATION OK '
           f'({N_PROC} processes x 2 devices, {STEPS} steps)')
 
