@@ -49,6 +49,13 @@ def parse_args(argv=None):
     p.add_argument('--workers', type=int, default=12)
     p.add_argument('--checkpoint-period', type=int, default=2000)
     p.add_argument('--log-period', type=int, default=100)
+    p.add_argument('--ds3d-val', default=None,
+                   help='held-out Example3D pickle for periodic in-training '
+                        'validation (`main.py:84-93`)')
+    p.add_argument('--validate-period', type=int, default=0,
+                   help='run the validation metric pass every N optimizer '
+                        'steps (0 = off)')
+    p.add_argument('--batch-size-test', type=int, default=150)
     p.add_argument('--load-path', default=None)
     p.add_argument('--init-path', default=None)
     p.add_argument('--load-backbone-from', default=None,
@@ -199,7 +206,8 @@ def main(argv=None):
         transform_coords=args.transform_coords,
         predict_all_and_latents=args.predict_all_and_latents,
         regularize_to_manifold=args.regularize_to_manifold,
-        constrain_kernel_norm=args.constrain_kernel_norm)
+        constrain_kernel_norm=args.constrain_kernel_norm,
+        batch_size_test=args.batch_size_test)
 
     affine_weights = None
     latent_mode = ''
@@ -380,6 +388,38 @@ def main(argv=None):
         (batch_fields(b, ('image', 'intrinsics', 'coords2d_true',
                           'joint_validity_mask')) for b in loader2), sharding)
 
+    # Periodic validation over a held-out 3D set (`main.py:84-93,143-145`):
+    # a forward-only metric pass through the eval harness, logged alongside
+    # the training losses.
+    val_examples = None
+    if args.ds3d_val and args.validate_period:
+        if args.model_class != 'metrabs':
+            raise SystemExit('--ds3d-val validation supports the metrabs '
+                             'crop model (absolute metrics)')
+        with open(args.ds3d_val, 'rb') as f:
+            val_examples = pickle.load(f)
+
+    def run_validation(step_idx):
+        from metrabs_tpu.eval.harness import (
+            evaluate_predictions, predict_dataset)
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+
+        def crop_fn(vs, crops, K, valid):
+            return model.apply(vs, crops, K, train=False, sample_valid=valid)
+
+        preds = predict_dataset(
+            crop_fn, val_examples, joint_info3d, cfg,
+            crop_model_state=variables, batch_size=tcfg.batch_size_test,
+            n_workers=args.workers)
+        m = evaluate_predictions(preds, joint_info=joint_info3d)
+        rec = dict(step=step_idx, **{f'val_{k}': v for k, v in m.items()})
+        if jax.process_index() == 0:
+            print(json.dumps(rec), flush=True)
+            with open(log_path, 'a') as f:
+                f.write(json.dumps(rec) + '\n')
+
     total_steps = args.training_steps * args.grad_accum_steps
     # Step index at which BN switches to frozen inference mode
     # ((training_steps - N) * grad_accum_steps, `main.py:132-134`).
@@ -407,6 +447,10 @@ def main(argv=None):
                         print(json.dumps(rec), flush=True)
                         with open(log_path, 'a') as f:
                             f.write(json.dumps(rec) + '\n')
+                if (val_examples is not None
+                        and (i + 1) % (args.validate_period
+                                       * args.grad_accum_steps) == 0):
+                    run_validation(i + 1)
                 if manager.should_save(i + 1):
                     manager.save(i + 1, args=ocp.args.StandardSave(state))
     finally:

@@ -119,3 +119,26 @@ def test_train_cli_load_backbone_from(tmp_path, rng):
     src_k = np.asarray(src_vars['params']['heatmap_heads']['conv_final']['kernel'])
     out_k = np.asarray(out_vars['params']['heatmap_heads']['conv_final']['kernel'])
     np.testing.assert_allclose(out_k, src_k, atol=1e-6)  # same joint count
+
+
+def test_train_cli_in_training_validation(tmp_path, rng):
+    """--ds3d-val/--validate-period: the metric pass runs during training
+    and writes val_* records to the JSONL log (`main.py:84-93,143-145`)."""
+    import json
+    import os
+    from metrabs_tpu.apps import train as train_cli
+    from tests.test_train_cli import _write_datasets
+
+    p3, p2 = _write_datasets(tmp_path, rng)
+    ckpt_dir = str(tmp_path / 'ckpt_val')
+    train_cli.main([
+        '--ds3d', p3, '--ds2d', p2, '--checkpoint-dir', ckpt_dir,
+        '--backbone', 'tiny', '--proc-side', '64', '--depth', '4',
+        '--batch-size', '8', '--batch-size-2d', '8', '--training-steps', '2',
+        '--workers', '2', '--dtype', 'float32', '--checkpoint-period', '1',
+        '--ds3d-val', p3, '--validate-period', '1', '--batch-size-test', '8'])
+    with open(os.path.join(ckpt_dir, 'train_log.jsonl')) as f:
+        recs = [json.loads(l) for l in f]
+    val_recs = [r for r in recs if 'val_mean_error' in r]
+    assert len(val_recs) == 2  # every step with period 1 over 2 steps
+    assert all(np.isfinite(r['val_mean_error']) for r in val_recs)
