@@ -275,3 +275,32 @@ def test_partially_padded_tail_chunk_stays_finite(estimator):
     assert np.all(np.isfinite(p_chunked)), 'tail-chunk poses went non-finite'
     np.testing.assert_allclose(
         p_chunked, np.asarray(out_whole['poses3d']), rtol=2e-3, atol=1.0)
+
+
+def test_masking_fuzz_random_validity_patterns(estimator):
+    """Randomized sweep of box/validity patterns under ONE static config
+    (shapes fixed -> one compiled program): valid-slot results must be
+    finite and independent of garbage in invalid slots, chunked or not."""
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+    for trial in range(4):
+        boxes = np.stack([
+            np.stack([np.array([
+                rng.uniform(0, 100), rng.uniform(0, 60),
+                rng.uniform(10, 60), rng.uniform(20, 70)], np.float32)
+                for _ in range(5)])
+            for _ in range(2)])
+        valid = rng.random((2, 5)) < 0.6
+        valid[0, 0] = True  # at least one valid box
+        out = estimator.estimate_poses_batched(
+            images, boxes, valid, num_aug=2, internal_batch_size=6)
+        p = np.asarray(out['poses3d'])
+        assert np.all(np.isfinite(p[valid])), f'trial {trial} non-finite'
+        # garbage in invalid slots must not change valid results
+        boxes_alt = boxes.copy()
+        boxes_alt[~valid] = [[-1e6, 1e6, 0, 0]][0]
+        out_alt = estimator.estimate_poses_batched(
+            images, boxes_alt, valid, num_aug=2, internal_batch_size=6)
+        np.testing.assert_allclose(
+            p[valid], np.asarray(out_alt['poses3d'])[valid],
+            rtol=1e-4, atol=0.5, err_msg=f'trial {trial}')
