@@ -614,6 +614,13 @@ class PoseEstimator:
         pixel error — validate pose deltas on trained weights first."""
         if self.detector is None:
             raise ValueError('No detector attached to this estimator.')
+        if max_detections <= 0:
+            # The reference's -1 = "keep all" is not expressible under
+            # static shapes; fail with guidance instead of a shape error.
+            raise ValueError(
+                'max_detections must be a positive static capacity (the '
+                "reference's -1/unlimited has no fixed-shape equivalent; "
+                'use a generous cap, e.g. 150 = the pose-NMS maximum)')
         flip_vertical = (detector_flip_aug
                          and self._aug_cfg.detector_flip_vertical_too)
         if not fused:
@@ -702,6 +709,10 @@ class PoseEstimator:
         processing, the per-batch API for latency-oriented serving."""
         if self.detector is None:
             raise ValueError('No detector attached to this estimator.')
+        if max_detections <= 0:
+            raise ValueError(
+                'max_detections must be a positive static capacity (the '
+                "reference's -1/unlimited has no fixed-shape equivalent)")
         flip_vertical = (detector_flip_aug
                          and self._aug_cfg.detector_flip_vertical_too)
         images = jnp.asarray(images)

@@ -323,3 +323,35 @@ def test_boxes_from_joints_empty_and_loader_skip():
     pts = np.ones((5, 2), np.float32)
     pts[:, 0] = np.nan
     np.testing.assert_array_equal(boxes_from_joints(pts), [0, 0, 0, 0])
+
+
+def test_detect_max_detections_validation():
+    """The reference's max_detections=-1 (unlimited) has no fixed-shape
+    equivalent; a clear ValueError beats a cryptic negative-dim shape
+    error."""
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=8,
+                                                   dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        jnp.eye(3)[None])
+
+    class _StubDet:
+        pass
+
+    est = PoseEstimator(
+        lambda s, c, k, v: model.apply(s, c, k, train=False, sample_valid=v),
+        H36M_17, cfg, crop_model_state=params, detector=_StubDet())
+    imgs = np.zeros((1, 64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match='positive static capacity'):
+        est.detect_poses_batched(imgs, max_detections=-1)
+    with pytest.raises(ValueError, match='positive static capacity'):
+        est.detect_poses_stream(np.zeros((1, 1, 64, 64, 3), np.uint8),
+                                max_detections=0)
