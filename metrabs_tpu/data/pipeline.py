@@ -210,6 +210,20 @@ ROUNDROBIN_SECTIONS = {
 }
 
 
+def huge2d_sections(n_pieces: int) -> Dict[str, int]:
+    """The reference's 2D-mixture divisibility tweaks (`main.py:344-356`):
+    when the total batch must divide grad_accum_steps * n_replicas pieces,
+    the huge2d counts are nudged (33 examples for 3 pieces, 30 for 6;
+    default 32)."""
+    if n_pieces == 3:
+        return {'mpii_down': 8, 'coco_down': 9, 'jrdb_down': 8,
+                'posetrack_down': 8}
+    if n_pieces == 6:
+        return {'mpii_down': 8, 'coco_down': 8, 'jrdb_down': 7,
+                'posetrack_down': 7}
+    return dict(ROUNDROBIN_SECTIONS['huge2d'])
+
+
 def build_dataset_sections(examples, section_prefixes: Sequence[str]):
     """Partitions examples into sections by image-path substring match
     (`main.py:364-373`): an example goes to the FIRST section whose name

@@ -355,3 +355,13 @@ def test_detect_max_detections_validation():
     with pytest.raises(ValueError, match='positive static capacity'):
         est.detect_poses_stream(np.zeros((1, 1, 64, 64, 3), np.uint8),
                                 max_detections=0)
+
+
+def test_huge2d_sections_divisibility_variants():
+    """`main.py:344-356`: the huge2d 2D mixture is nudged to 33 examples
+    when the batch must split into 3 pieces, 30 for 6, else 32."""
+    from metrabs_tpu.data.pipeline import huge2d_sections
+    assert sum(huge2d_sections(3).values()) == 33
+    assert sum(huge2d_sections(6).values()) == 30
+    assert sum(huge2d_sections(1).values()) == 32
+    assert sum(huge2d_sections(12).values()) == 32
