@@ -312,6 +312,11 @@ def build_detector_model(kind: str, dtype=jnp.float32, scan_repeats: bool = True
         return YOLOv4(dtype=dtype, scan_repeats=scan_repeats)
     if kind == 'yolov4-tiny':
         return YOLOv4Tiny(dtype=dtype)
+    if kind.startswith('yolov8') and kind[-1] in 'nsmlx' and len(kind) == 7:
+        # The PT reference stack's detector family
+        # (`person_detector.py:12` uses yolov8m).
+        from metrabs_tpu.detect.yolov8 import YOLOv8
+        return YOLOv8(size=kind[-1], dtype=dtype)
     raise ValueError(f'Unknown detector kind {kind!r}')
 
 
@@ -398,6 +403,18 @@ class PersonDetector:
             for i, h in enumerate(heads)]
         return jnp.concatenate(decoded, axis=1)  # [N, n_anchors, 5+C]
 
+    def _person_preds(self, variables, images_resized: jnp.ndarray):
+        """(center-format boxes [N, A, 4] in resized px, person scores
+        [N, A]) — the decode contract shared by the YOLOv4 (objectness x
+        class prob) and YOLOv8 (anchor-free sigmoid class prob) families."""
+        from metrabs_tpu.detect import yolov8 as yolov8_mod
+        if isinstance(self.model, yolov8_mod.YOLOv8):
+            heads = self.model.apply(variables, images_resized, train=False)
+            merged = yolov8_mod.decode_heads(heads)
+            return merged[..., :4], merged[..., 4 + PERSON_CLASS]
+        preds = self._forward(variables, images_resized)
+        return preds[..., :4], preds[..., 4] * preds[..., 5 + PERSON_CLASS]
+
     def _detect_core(self, variables, images, threshold, nms_iou_threshold, *,
                      max_detections: int, flip_aug: bool, flip_vertical: bool,
                      orig_h: int, orig_w: int):
@@ -429,20 +446,19 @@ class PersonDetector:
             resized, ((0, 0), (hp, pad_h - hp), (wp, pad_w - wp), (0, 0)),
             constant_values=0.5)
 
-        preds = self._forward(variables, resized)
+        boxes, scores = self._person_preds(variables, resized)
         if flip_aug:
-            flipped = self._forward(variables, resized[:, :, ::-1])
+            fboxes, fscores = self._person_preds(variables, resized[:, :, ::-1])
             fw = resized.shape[2]
-            flipped = flipped.at[..., 0].set(fw - flipped[..., 0])
-            preds = jnp.concatenate([preds, flipped], axis=1)
+            fboxes = fboxes.at[..., 0].set(fw - fboxes[..., 0])
+            boxes = jnp.concatenate([boxes, fboxes], axis=1)
+            scores = jnp.concatenate([scores, fscores], axis=1)
             if flip_vertical:
-                vflip = self._forward(variables, resized[:, ::-1])
+                vboxes, vscores = self._person_preds(variables, resized[:, ::-1])
                 fh = resized.shape[1]
-                vflip = vflip.at[..., 1].set(fh - vflip[..., 1])
-                preds = jnp.concatenate([preds, vflip], axis=1)
-
-        scores = preds[..., 4] * preds[..., 5 + PERSON_CLASS]
-        boxes = preds[..., :4]
+                vboxes = vboxes.at[..., 1].set(fh - vboxes[..., 1])
+                boxes = jnp.concatenate([boxes, vboxes], axis=1)
+                scores = jnp.concatenate([scores, vscores], axis=1)
 
         # Per-image: top candidates by score, then NMS, then top max_detections.
         k = min(self.top_candidates, scores.shape[1])

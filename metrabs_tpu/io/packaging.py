@@ -33,6 +33,7 @@ def save_pose_estimator_package(
         detector_scan_repeats: bool = True,
         detector_type: str = 'yolov4',
         detector_dtype: str = 'bfloat16',
+        detector_input_size: Optional[int] = None,
         skeleton_registry: Optional[SkeletonRegistry] = None,
         bone_mean_lengths: Optional[np.ndarray] = None,
         joint_transform_matrix: Optional[np.ndarray] = None,
@@ -79,6 +80,9 @@ def save_pose_estimator_package(
         detector_scan_repeats=detector_scan_repeats,
         detector_type=detector_type,
         detector_dtype=detector_dtype,
+        # None = resolve at load time from the family default (416 for
+        # YOLOv4, 640 for YOLOv8 per ultralytics imgsz).
+        detector_input_size=detector_input_size,
         has_joint_transform=joint_transform_matrix is not None,
         # Latent-joint fields live on the Metrabs MODULE (not ModelConfig),
         # so they must be recorded explicitly for the round trip.
@@ -163,12 +167,15 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
         from metrabs_tpu.detect.yolov4 import PersonDetector, build_detector_model
         det_variables = load_model_msgpack(
             os.path.join(directory, 'detector.msgpack'))['variables']
+        det_type = manifest.get('detector_type', 'yolov4')
+        det_size = manifest.get('detector_input_size') or (
+            640 if det_type.startswith('yolov8') else 416)
         detector = PersonDetector(
             build_detector_model(
-                manifest.get('detector_type', 'yolov4'),
+                det_type,
                 dtype=jnp.dtype(manifest.get('detector_dtype', 'float32')),
                 scan_repeats=manifest.get('detector_scan_repeats', True)),
-            det_variables)
+            det_variables, input_size=det_size)
 
     skeleton_registry = None
     if manifest.get('skeletons'):

@@ -161,6 +161,52 @@ def dataclasses_replace_input_size(det, size):
     return _dc.replace(det, input_size=size)
 
 
+def test_package_yolov8_detector_roundtrip(tmp_path, rng):
+    """YOLOv8 package: detector_type='yolov8n' + detector_input_size must
+    survive the manifest round-trip (the v8 family defaults to 640 per
+    ultralytics imgsz; an explicit size overrides)."""
+    from metrabs_tpu.config import AugConfig, ModelConfig
+    from metrabs_tpu.detect.yolov8 import YOLOv8
+    from metrabs_tpu.io.packaging import (
+        load_pose_estimator, save_pose_estimator_package)
+    from metrabs_tpu.models.backbones.tiny import TinyBackbone
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    cfg = ModelConfig(proc_side=64, depth=4, n_joints=17, dtype='float32',
+                      backbone='tiny', warp_backend='gather')
+    model = Metrabs(cfg=cfg, backbone=TinyBackbone(width=8, dtype=jnp.float32))
+    crop_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.eye(3)[None])
+    det_model = YOLOv8(size='n', dtype=jnp.float32)
+    det_vars = det_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 96, 96, 3), jnp.float32))
+    joint_info = JointInfo(names=tuple(H36M_17.names),
+                           edges=tuple(H36M_17.edges))
+    d = str(tmp_path / 'pkg8')
+    save_pose_estimator_package(
+        d, cfg=cfg, aug_cfg=AugConfig(), crop_model_variables=crop_vars,
+        joint_info=joint_info, detector_variables=det_vars,
+        detector_type='yolov8n', detector_dtype='float32',
+        detector_input_size=96)
+
+    def tiny_builder(name, **kwargs):
+        assert name == 'tiny'
+        return TinyBackbone(width=8, dtype=jnp.float32)
+
+    est = load_pose_estimator(d, backbone_builder=tiny_builder)
+    assert type(est.detector.model).__name__ == 'YOLOv8'
+    assert est.detector.model.size == 'n'
+    assert est.detector.input_size == 96
+
+    img = rng.integers(0, 255, size=(80, 100, 3), dtype=np.uint8)
+    out = est.detect_poses(img, num_aug=1, max_detections=2,
+                           detector_threshold=0.0)
+    assert np.asarray(out['poses3d']).shape[1:] == (17, 3)
+    assert np.all(np.isfinite(np.asarray(out['poses3d'])))
+
+
 def test_package_roundtrip_latent_mode(tmp_path, rng):
     """Latent-joint models must round-trip: latent_mode/n_latents live on the
     Metrabs module (not ModelConfig), so the manifest records them explicitly.
