@@ -118,7 +118,12 @@ def project_kernel_norms(params, max_norm: float):
     ([H, W, 1, C]) reduce over the same axes, matching the reference's
     axis=[0, 1] depthwise constraint. Non-4D leaves (biases, BN, dense)
     pass through unchanged, as in Keras where only convs carry the
-    constraint."""
+    constraint.
+
+    The reference passes the constraint ONLY to the backbone (the head
+    conv and any detector are unconstrained, `builder.py:54-60` constructs
+    just the effnetv2 model with it), so when the tree has a top-level
+    'backbone' subtree only that subtree is projected."""
     def proj(x):
         if x.ndim != 4:
             return x
@@ -127,4 +132,8 @@ def project_kernel_norms(params, max_norm: float):
         scale = jnp.minimum(1.0, max_norm / jnp.maximum(norms, 1e-12))
         return (x.astype(jnp.float32) * scale).astype(x.dtype)
 
+    if isinstance(params, dict) and 'backbone' in params:
+        out = dict(params)
+        out['backbone'] = jax.tree_util.tree_map(proj, params['backbone'])
+        return out
     return jax.tree_util.tree_map(proj, params)
