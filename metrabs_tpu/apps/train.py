@@ -382,8 +382,23 @@ def main(argv=None):
                   'joint_validity_mask')
     if args.model_class == 'model25d':
         feed3_keys += ('coords2d_true',)
+
+    # Accumulate dataset mean bone lengths from the GT batches as they
+    # stream by (host-side, before device put) so the exported package
+    # ships dataset-derived plausibility priors — the reference's
+    # bone_length_file pickle (`plausibility_check.py:12-16`) derived from
+    # trainval, not invented constants.
+    from metrabs_tpu.pipeline.plausibility import BoneLengthStats
+    bone_stats = BoneLengthStats(joint_info3d.edges)
+
+    def _accumulate_bones(gen):
+        for b in gen:
+            bone_stats.update(b['coords3d_true'], b['joint_validity_mask'])
+            yield b
+
     feed3 = device_prefetch(
-        (batch_fields(b, feed3_keys) for b in loader3), sharding)
+        _accumulate_bones(batch_fields(b, feed3_keys) for b in loader3),
+        sharding)
     feed2 = device_prefetch(
         (batch_fields(b, ('image', 'intrinsics', 'coords2d_true',
                           'joint_validity_mask')) for b in loader2), sharding)
@@ -478,6 +493,12 @@ def main(argv=None):
                 encoder_weights=affine_weights['encoder_weights'])
         # Parameters are replicated across the mesh, so process 0 holds a
         # complete copy and exports alone.
+        # Ship dataset-derived mean bone lengths when the run actually saw
+        # GT batches; edges never observed (NaN) or a 0-step run fall back
+        # to None and the estimator warns loudly at load time.
+        bone_means = bone_stats.mean_lengths()
+        if bone_stats.n_samples == 0 or not np.isfinite(bone_means).all():
+            bone_means = None
         if jax.process_index() == 0:
             save_pose_estimator_package(
                 args.export_dir, cfg=cfg, aug_cfg=AugConfig(),
@@ -485,7 +506,8 @@ def main(argv=None):
                 skeleton_registry=SkeletonRegistry(joint_info3d),
                 latent_mode=latent_mode, n_latents=n_latents,
                 model_class=args.model_class, bones_25d=bones_25d,
-                bone_lengths_ideal=bone_lengths_ideal)
+                bone_lengths_ideal=bone_lengths_ideal,
+                bone_mean_lengths=bone_means)
             print(f'exported package to {args.export_dir}')
 
 

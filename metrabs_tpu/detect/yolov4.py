@@ -385,12 +385,15 @@ class PersonDetector:
     variables: dict
     input_size: int = 416
     top_candidates: int = 256
-    # Candidate selection via jax.lax.approx_max_k (TPU PartialReduce,
-    # much faster than exact O(n*k) top_k over the ~30k anchors; profile:
-    # the sort bucket was ~8 ms/batch of the fused sparse floor). Recall
-    # 0.99 only drops near-tied low scorers ahead of thresholding + NMS.
-    # False restores exact lax.top_k.
-    approx_top_k: bool = True
+    # Opt-in candidate selection via jax.lax.approx_max_k (TPU
+    # PartialReduce, much faster than exact O(n*k) top_k over the ~30k
+    # anchors; profile: the sort bucket was ~8 ms/batch of the fused sparse
+    # floor). Recall 0.99 only drops near-tied low scorers ahead of
+    # thresholding + NMS, but the reference uses exact top-k
+    # (`multiperson_model.py:236-238` topk_indices_ragged), so exact
+    # lax.top_k is the parity DEFAULT until trained weights can quantify
+    # the recall impact; flip on for serving-throughput mode.
+    approx_top_k: bool = False
 
     def __post_init__(self):
         self._jitted = {}

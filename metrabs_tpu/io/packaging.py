@@ -175,7 +175,8 @@ def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
                 det_type,
                 dtype=jnp.dtype(manifest.get('detector_dtype', 'float32')),
                 scan_repeats=manifest.get('detector_scan_repeats', True)),
-            det_variables, input_size=det_size)
+            det_variables, input_size=det_size,
+            approx_top_k=bool(manifest.get('detector_approx_top_k', False)))
 
     skeleton_registry = None
     if manifest.get('skeletons'):

@@ -424,17 +424,42 @@ class PoseEstimator:
         # surface `per_skeleton_joint_edges`; expose both.
         self.per_skeleton_edges = self.per_skeleton_joint_edges
         if bone_mean_lengths is None:
-            # The built-in mean-bone table is ONLY valid for the h36m_17
-            # convention it was measured on — match by joint names+edges,
-            # not edge count (any 16-edge skeleton would alias, and its
-            # differently-ordered edges would be checked against the wrong
-            # priors in the plausibility filter).
+            # No dataset-derived priors supplied. The reference always
+            # ships measured means (a trainval pickle frozen into the
+            # SavedModel, `plausibility_check.py:12-16`); train via
+            # apps/train.py --export-dir to get the same. Warn loudly —
+            # detect_poses(suppress_implausible_poses=True) would filter
+            # through these approximations.
+            import warnings
+            # The built-in approximate table is ONLY considered for the
+            # h36m_17 convention it approximates — match by joint
+            # names+edges, not edge count (any 16-edge skeleton would
+            # alias, and its differently-ordered edges would be checked
+            # against the wrong priors in the plausibility filter).
             from metrabs_tpu.pipeline.skeletons import H36M_17
             if (tuple(joint_info.names) == tuple(H36M_17.names)
                     and tuple(joint_info.edges) == tuple(H36M_17.edges)):
                 bone_mean_lengths = H36M_17_MEAN_BONES_MM
+                warnings.warn(
+                    'PoseEstimator: no bone_mean_lengths provided; the '
+                    'plausibility filter will use built-in APPROXIMATE '
+                    'anthropometric h36m_17 bone lengths, not '
+                    'dataset-derived means. Ship dataset-derived priors '
+                    '(apps/train.py accumulates them automatically, or '
+                    'pipeline.plausibility.compute_bone_mean_lengths).',
+                    stacklevel=2)
             else:
-                bone_mean_lengths = np.full(len(joint_info.edges), 300.0, np.float32)
+                bone_mean_lengths = np.full(
+                    len(joint_info.edges), 300.0, np.float32)
+                warnings.warn(
+                    'PoseEstimator: no bone_mean_lengths provided for a '
+                    'non-h36m_17 skeleton; the plausibility filter falls '
+                    'back to a FLAT 300mm prior for every bone, which '
+                    'makes detect_poses(suppress_implausible_poses=True) '
+                    'unreliable. Provide dataset-derived means '
+                    '(apps/train.py accumulates them automatically, or '
+                    'pipeline.plausibility.compute_bone_mean_lengths).',
+                    stacklevel=2)
         n_out = (joint_transform_matrix.shape[1]
                  if joint_transform_matrix is not None else joint_info.n_joints)
         spec = EstimatorSpec(

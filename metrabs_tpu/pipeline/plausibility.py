@@ -135,3 +135,55 @@ def suppress_implausible_poses(
     plausible = jnp.logical_and(plausible, box_valid)
     return pose_non_max_suppression(
         poses3d_mean, boxes[..., 4], plausible, overlap_threshold, max_output)
+
+
+class BoneLengthStats:
+    """Streaming dataset mean-bone-length accumulator (host-side numpy).
+
+    The reference freezes dataset-measured mean bone lengths into the
+    SavedModel from a trainval pickle (`plausibility_check.py:12-16`,
+    FLAGS.bone_length_file); here the training driver accumulates them from
+    the ground-truth 3D batches it already streams, so every exported
+    package ships honestly-derived priors instead of invented constants.
+    A bone sample counts only when BOTH endpoint joints are valid; the
+    final mean uses divide-no-nan semantics (edges never observed report
+    NaN and the consumer falls back loudly).
+    """
+
+    def __init__(self, edges):
+        self.edges = tuple((int(i), int(j)) for i, j in edges)
+        self._sum = np.zeros(len(self.edges), np.float64)
+        self._count = np.zeros(len(self.edges), np.int64)
+
+    def update(self, coords3d_mm: np.ndarray, validity: np.ndarray) -> None:
+        """coords3d_mm: [B, J, 3] ground-truth camera-space mm;
+        validity: [B, J] bool."""
+        c = np.asarray(coords3d_mm, np.float64)
+        v = np.asarray(validity, bool)
+        for b, (i, j) in enumerate(self.edges):
+            ok = v[:, i] & v[:, j]
+            if not ok.any():
+                continue
+            d = np.linalg.norm(c[ok, i] - c[ok, j], axis=-1)
+            ok_finite = np.isfinite(d)
+            self._sum[b] += d[ok_finite].sum()
+            self._count[b] += int(ok_finite.sum())
+
+    @property
+    def n_samples(self) -> int:
+        return int(self._count.min()) if len(self.edges) else 0
+
+    def mean_lengths(self) -> np.ndarray:
+        """Per-edge mean bone length in mm; NaN for never-observed edges
+        (divide-no-nan would hide the missing prior as a 0mm bone, which
+        the plausibility ratio check would then always fail)."""
+        with np.errstate(invalid='ignore'):
+            out = self._sum / np.maximum(self._count, 1)
+        return np.where(self._count > 0, out, np.nan).astype(np.float32)
+
+
+def compute_bone_mean_lengths(coords3d_mm, validity, edges) -> np.ndarray:
+    """One-shot wrapper over BoneLengthStats for in-memory datasets."""
+    stats = BoneLengthStats(edges)
+    stats.update(coords3d_mm, validity)
+    return stats.mean_lengths()

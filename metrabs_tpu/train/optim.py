@@ -110,7 +110,8 @@ def ema_update(ema_params, new_params, momentum: float):
         lambda e, p: momentum * e + (1.0 - momentum) * p, ema_params, new_params)
 
 
-def project_kernel_norms(params, max_norm: float):
+def project_kernel_norms(params, max_norm: float,
+                         backbone_path: str = 'backbone'):
     """Max-norm projection of conv kernels (the reference's Keras
     MinMaxNorm(0, max) constraint on EffNetV2 convs, `builder.py:54-60`):
     any 4D kernel [H, W, I, O] whose per-output-channel norm over (H, W, I)
@@ -123,7 +124,13 @@ def project_kernel_norms(params, max_norm: float):
     The reference passes the constraint ONLY to the backbone (the head
     conv and any detector are unconstrained, `builder.py:54-60` constructs
     just the effnetv2 model with it), so when the tree has a top-level
-    'backbone' subtree only that subtree is projected."""
+    `backbone_path` subtree only that subtree is projected (same key that
+    `build_optimizer`'s dual-LR partition uses). Known parity divergence,
+    gated by `constrain_kernel_norm`: the reference wires the constraint
+    only in `build_effnetv2` (resnet/mobilenet builders ignore it,
+    `builder.py:50-96`); here the flag projects whichever backbone family
+    is in use. The reference never sets the flag for non-EffNetV2 runs,
+    so the defaults coincide."""
     def proj(x):
         if x.ndim != 4:
             return x
@@ -132,8 +139,9 @@ def project_kernel_norms(params, max_norm: float):
         scale = jnp.minimum(1.0, max_norm / jnp.maximum(norms, 1e-12))
         return (x.astype(jnp.float32) * scale).astype(x.dtype)
 
-    if isinstance(params, dict) and 'backbone' in params:
+    if isinstance(params, dict) and backbone_path in params:
         out = dict(params)
-        out['backbone'] = jax.tree_util.tree_map(proj, params['backbone'])
+        out[backbone_path] = jax.tree_util.tree_map(
+            proj, params[backbone_path])
         return out
     return jax.tree_util.tree_map(proj, params)

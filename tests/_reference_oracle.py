@@ -1,0 +1,160 @@
+"""Imports the actual reference TF code (/root/reference/metrabs_tf) as a
+NUMERIC ORACLE for parity tests.
+
+TensorFlow 2.21 is installed in this environment, so the reference's own
+formula functions can be *executed* against randomized inputs and compared
+with our JAX re-implementations — the strongest parity evidence available
+without released weights. The reference code is only imported and run, never
+copied; the external author packages it depends on (simplepyutils, posepile,
+tensorflow_graphics, tensorflow_addons, attrdict) are stubbed at the
+sys.modules level with just enough surface for the formula modules to import
+(none of the stubbed functionality is exercised by the oracles — FLAGS is a
+plain namespace, the LM optimizer stub raises if called).
+
+Usage from a test module:
+
+    oracle = pytest.importorskip('tests._reference_oracle').load_reference()
+    oracle.flags.proc_side = 256           # configure reference FLAGS
+    out_tf = oracle.tfu3d.reconstruct_absolute(...)
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ROOT = '/root/reference'
+
+# Mutable holder so tests can inject the mean-bone table that the reference's
+# plausibility check loads via spu.load_pickle(FLAGS.bone_length_file)
+# (`plausibility_check.py:12-16`).
+BONE_MEANS = [None]
+
+# Mutable holder for posepile.datasets3d.get_joint_info(FLAGS.dataset3d)
+# (`eval_metrics.py:37`): tests inject an object with an `.ids` dict.
+JOINT_INFO = [None]
+
+_cached = None
+
+
+def _module(name):
+    mod = types.ModuleType(name)
+    mod.__dict__['_oracle_stub'] = True
+    sys.modules[name] = mod
+    return mod
+
+
+def _install_stubs():
+    import logging
+
+    if 'simplepyutils' not in sys.modules:
+        spu = _module('simplepyutils')
+        spu.FLAGS = types.SimpleNamespace(
+            stride_train=32, stride_test=32, proc_side=256,
+            centered_stride=True, box_size_mm=2200.0,
+            weak_perspective=False, mean_relative=True,
+            bone_length_dataset='', bone_length_file='<injected>',
+            dataset3d='')
+        spu.load_pickle = lambda path: BONE_MEANS[0]
+        spu.logger = logging.getLogger('reference_oracle')
+
+    if 'posepile' not in sys.modules:
+        pp = _module('posepile')
+        ds3d = _module('posepile.datasets3d')
+        pp.datasets3d = ds3d
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError(
+                'posepile datasets are not available in the oracle harness')
+
+        def _get_joint_info(name):
+            if JOINT_INFO[0] is None:
+                raise NotImplementedError(
+                    'inject tests._reference_oracle.JOINT_INFO[0] first')
+            return JOINT_INFO[0]
+
+        ds3d.get_dataset = _unavailable
+        ds3d.get_joint_info = _get_joint_info
+
+    if 'tensorflow_graphics' not in sys.modules:
+        tfg = _module('tensorflow_graphics')
+        math_mod = _module('tensorflow_graphics.math')
+        opt_mod = _module('tensorflow_graphics.math.optimizer')
+        lm_mod = _module(
+            'tensorflow_graphics.math.optimizer.levenberg_marquardt')
+        tfg.math = math_mod
+        math_mod.optimizer = opt_mod
+        opt_mod.levenberg_marquardt = lm_mod
+
+        def minimize(*a, **k):
+            raise NotImplementedError(
+                'tfg Levenberg-Marquardt is stubbed; the oracle tests do '
+                'not exercise optimize_z_offset_by_bones')
+
+        lm_mod.minimize = minimize
+
+    if 'tensorflow_addons' not in sys.modules:
+        tfa = _module('tensorflow_addons')
+        tfa.image = types.SimpleNamespace(
+            transform=None, interpolate_bilinear=None)
+
+    if 'attrdict' not in sys.modules:
+        ad = _module('attrdict')
+
+        class AttrDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ad.AttrDict = AttrDict
+
+
+def load_reference():
+    """Returns a namespace with the imported reference modules and the live
+    FLAGS stub. Caches after first import (TF import is ~10 s)."""
+    global _cached
+    if _cached is not None:
+        return _cached
+
+    import tensorflow  # noqa: F401  (skip via importorskip in test modules)
+
+    _install_stubs()
+    for p in (REF_ROOT, REF_ROOT + '/metrabs_tf'):
+        if p not in sys.path:
+            sys.path.append(p)
+
+    from metrabs_tf import tfu, tfu3d, util3d
+    from metrabs_tf.multiperson import plausibility_check, warping
+    import procrustes as procrustes_np
+
+    # metrabs_tf.models.__init__ pulls in the full Keras model stack
+    # (fleras etc.); load the two formula modules we oracle against by file
+    # path instead, bypassing the package __init__.
+    import importlib.util
+
+    def _load_by_path(alias, path):
+        spec = importlib.util.spec_from_file_location(alias, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[alias] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    models_util = _load_by_path(
+        'metrabs_tf_models_util_oracle',
+        REF_ROOT + '/metrabs_tf/models/util.py')
+    eval_metrics = _load_by_path(
+        'metrabs_tf_models_eval_metrics_oracle',
+        REF_ROOT + '/metrabs_tf/models/eval_metrics.py')
+
+    _cached = types.SimpleNamespace(
+        flags=sys.modules['simplepyutils'].FLAGS,
+        tfu=tfu, tfu3d=tfu3d, util3d=util3d,
+        models_util=models_util, eval_metrics=eval_metrics,
+        plausibility_check=plausibility_check, warping=warping,
+        procrustes_np=procrustes_np)
+    return _cached

@@ -103,6 +103,34 @@ def test_unscale_uses_per_axis_factors(tiny_detector, rng):
          20 * x_factor, 30 * y_factor], rtol=1e-5)
 
 
+def test_approx_top_k_matches_exact_on_separated_scores(tiny_detector, rng):
+    """approx_top_k (serving mode) and the exact parity default must select
+    the same detections when candidate scores are well separated — the only
+    regime where approx_max_k's recall<1 could silently diverge is near-ties,
+    which thresholding + NMS absorb. Exact lax.top_k is the default
+    (reference parity, `multiperson_model.py:236-238`); this pins the two
+    paths to agree so the opt-in stays a pure speed knob."""
+    import dataclasses
+    fake = np.zeros((1, 512, 85), np.float32)
+    # 12 well-separated persons on a diagonal, scores 0.95 down to 0.40.
+    for i in range(12):
+        fake[0, i * 40, :4] = [8.0 + 7.0 * i, 8.0 + 7.0 * i, 6.0, 6.0]
+        fake[0, i * 40, 4] = 1.0
+        fake[0, i * 40, 5 + yolov4.PERSON_CLASS] = 0.95 - 0.05 * i
+    img = rng.integers(0, 255, size=(1, 96, 96, 3), dtype=np.uint8)
+
+    results = {}
+    for approx in (False, True):
+        det = dataclasses.replace(tiny_detector, approx_top_k=approx)
+        det._jitted = {}
+        det._forward = lambda variables, images_resized: jnp.asarray(fake)
+        boxes5, valid = det.detect_batched(
+            img, threshold=0.3, max_detections=8)
+        results[approx] = (np.asarray(boxes5), np.asarray(valid))
+    np.testing.assert_array_equal(results[False][1], results[True][1])
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-6)
+
+
 def test_darknet_conv_count():
     """YOLOv4 (flat layout) must have exactly 110 conv sections with outputs
     at 93/101/109 (the canonical darknet layout the importer assumes)."""

@@ -74,6 +74,14 @@ def test_train_cli_model_classes(tmp_path, rng, model_class):
         export_dir, backbone_builder=tiny_builder)
     assert manifest['model_class'] == model_class
     assert len(joint_info.names) == 17
+    # The package must carry dataset-derived plausibility priors
+    # accumulated from the GT stream (the reference's bone_length_file
+    # asset, `plausibility_check.py:12-16`) — no invented constants.
+    bone_means = manifest.get('bone_mean_lengths')
+    assert bone_means is not None
+    bone_means = np.asarray(bone_means, np.float32)
+    assert bone_means.shape == (len(joint_info.edges),)
+    assert np.all(np.isfinite(bone_means)) and np.all(bone_means > 0)
     import jax.numpy as jnp
     x = jnp.zeros((2, 64, 64, 3), jnp.float32)
     if model_class == 'metro':

@@ -68,7 +68,14 @@ def test_train_step_applies_kernel_constraint(rng):
                     x.reshape(-1, x.shape[-1]), axis=0).max()))
         return worst
 
-    assert max_conv_norm(state.params) <= 0.5 + 1e-5
+    # Only the backbone is constrained (`builder.py:54-60` constructs just
+    # the effnetv2 model with MinMaxNorm; the head conv is unconstrained,
+    # `models/metrabs.py:95`).
+    assert max_conv_norm(state.params['backbone']) <= 0.5 + 1e-5
+    head_norm = max_conv_norm(state.params['heatmap_heads'])
+    assert head_norm > 0.5, (
+        f'head conv must NOT be norm-clipped (got {head_norm}); a tiny '
+        f'head norm would mean the projection leaked outside the backbone')
 
 
 def test_train_cli_load_backbone_from(tmp_path, rng):
