@@ -2,8 +2,10 @@
 
 The released reference models are TF SavedModels; their weights live in the
 TensorBundle format (`variables/variables.index` + `variables.data-NNNNN-of-
-MMMMM`). TensorFlow itself is not available in this environment, so this
-module implements the format directly:
+MMMMM`). This module implements the format directly so deployments need no
+TensorFlow dependency — and it is validated byte-for-byte against checkpoints
+TensorFlow 2.21 itself writes (tests/test_tf_oracle_backbone.py, incl. the
+object-graph full_name remapping on a real tf.train.Checkpoint):
 
  - the .index file is a leveldb-style table: key-prefix-compressed blocks
    with restart arrays, a two-level index, and a fixed 48-byte footer with
@@ -261,9 +263,13 @@ def load_tf_checkpoint(prefix: str, strip_suffixes: bool = True
     if graph_key is not None:
         ge = _parse_bundle_entry(entries[graph_key])
         raw = shards[ge['shard_id']][ge['offset']:ge['offset'] + ge['size']]
-        # DT_STRING tensors serialize as per-element varint lengths followed
-        # by the concatenated bytes; the graph is a single-element tensor.
+        # DT_STRING tensors serialize as per-element varint lengths, then a
+        # fixed 4-byte masked crc32c of the lengths, then the concatenated
+        # bytes (tensor_bundle.cc WriteStringTensor); the graph is a
+        # single-element tensor. Validated against checkpoints written by
+        # TF 2.21 itself (tests/test_tf_oracle_backbone.py).
         length, pos = _read_varint(raw, 0)
+        pos += 4  # lengths_crc32c
         full_names = _parse_object_graph(raw[pos:pos + length])
 
     out = {}

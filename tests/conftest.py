@@ -7,6 +7,11 @@ does for `__graft_entry__.dryrun_multichip`.
 
 import os
 
+# The reference's EffNetV2 fork needs Keras 2 (Keras 3's attribute tracking
+# wraps its Config objects); must be set before the first tensorflow import
+# anywhere in the test process (tests/test_tf_oracle_backbone.py).
+os.environ.setdefault('TF_USE_LEGACY_KERAS', '1')
+
 xla_flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in xla_flags:
     os.environ['XLA_FLAGS'] = (

@@ -1,0 +1,202 @@
+"""Real-TF validation of the checkpoint reader, the weight importer, and the
+flax EfficientNetV2 — against TensorFlow itself and the reference's own
+EffNetV2 fork, executed (TF 2.21 + legacy Keras are installed here).
+
+Three layers of evidence, strongest last:
+ 1. io/tf_checkpoint.load_tf_checkpoint reproduces tf.train.load_checkpoint
+    byte-for-byte on a checkpoint TensorFlow actually wrote (incl. the
+    object-graph full_name remapping the ROADMAP flagged as unvalidated).
+ 2. import_effnetv2_from_tf consumes that real checkpoint: every flax
+    parameter lands with the exact value of the corresponding fork variable.
+ 3. Forward-activation parity: the imported flax EfficientNetV2-S (and the
+    -stride16 dilated/bottom-right-shift variant, SURVEY §7's #4 silent-mm-
+    error source) matches the executed reference fork's feature maps on
+    shared random weights.
+
+Reference cites: `metrabs_tf/backbones/efficientnet/effnetv2_model.py`
+(fork), `metrabs_pytorch/convert_model_from_tf.py:89-202` (name space),
+`metrabs_tf/backbones/builder.py:52-63` (set_batchnorm + get_model usage).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip('tensorflow')
+
+import jax
+import jax.numpy as jnp
+
+from tests import _reference_oracle
+
+from metrabs_tpu.io import tf_checkpoint as tc
+from metrabs_tpu.io import weights_import as wi
+
+pytestmark = pytest.mark.skipif(
+    not tf.keras.__name__.startswith('tf_keras'),
+    reason='reference EffNetV2 fork requires legacy Keras 2 '
+           '(TF_USE_LEGACY_KERAS=1 before first tf import)')
+
+
+@pytest.fixture(scope='module')
+def fork_modules():
+    _reference_oracle._install_stubs()
+    if _reference_oracle.REF_ROOT not in sys.path:
+        sys.path.append(_reference_oracle.REF_ROOT)
+    # The fork does a bare `import keras` and expects Keras 2 (its
+    # environment.yml pins TF 2.x); alias it to tf_keras BEFORE the fork
+    # import, otherwise its BatchNormalization subclasses Keras 3 and the
+    # BN variables silently vanish from model.variables.
+    if 'metrabs_tf.backbones.efficientnet.effnetv2_utils' not in sys.modules:
+        import tf_keras
+        sys.modules['keras'] = tf_keras
+    from metrabs_tf.backbones.efficientnet import (  # noqa: PLC0415
+        effnetv2_model, effnetv2_utils)
+    # The reference builder configures the BN class before model construction
+    # (`metrabs_tf/backbones/builder.py:52-63`).
+    effnetv2_utils.set_batchnorm(effnetv2_utils.BatchNormalization)
+    return effnetv2_model, effnetv2_utils
+
+
+def _randomize_variables(model, rng):
+    """No special values anywhere: randomizes every variable (incl. BN
+    moving stats and betas) so swapped gamma/beta or mean/var mappings
+    cannot hide behind the 0/1 initialization."""
+    for v in model.variables:
+        shape = tuple(v.shape)
+        name = v.name
+        if 'moving_variance' in name:
+            val = rng.uniform(0.5, 1.5, size=shape)
+        elif v.dtype != tf.float32:
+            continue  # rng StateVars etc.
+        else:
+            val = rng.normal(size=shape) * 0.05
+        v.assign(val.astype(np.float32))
+
+
+_FORK_CACHE = {}
+
+
+def _build_fork(fork_modules, name, rng):
+    """One fork model per name per module run. clear_session() resets Keras's
+    name-uniquification counters — otherwise a second build in the same
+    process names its layers stem_1/head_1 and the full names no longer
+    match the checkpoint name space."""
+    if name in _FORK_CACHE:
+        return _FORK_CACHE[name]
+    effnetv2_model, _ = fork_modules
+    tf.keras.backend.clear_session()
+    model = effnetv2_model.get_model(name, include_top=False, pretrained=False)
+    assert any(v.name.startswith(f'{name.split("-stride")[0]}/stem/')
+               for v in model.variables), 'keras name-scope counters dirty'
+    _randomize_variables(model, rng)
+    _FORK_CACHE[name] = model
+    return model
+
+
+def _flax_from_fork(model, backbone_name, x):
+    """Builds our flax backbone, imports the fork's variables by NAME (the
+    same name space a real released checkpoint yields after full_name
+    remapping), and returns (apply_fn_output, imported_variables)."""
+    from metrabs_tpu.models.backbones.builder import build_backbone
+
+    tf_vars = {v.name.split(':')[0]: v.numpy() for v in model.variables}
+    # Import lands in the flat (unscanned) layout; production models convert
+    # with io/scan_convert.flat_to_scanned (output-equivalence pinned by
+    # tests/test_scan_convert.py).
+    bb = build_backbone(backbone_name, dtype=jnp.float32, scan_blocks=False)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    wrapped = {'params': {'backbone': variables['params']},
+               'batch_stats': {'backbone': variables.get('batch_stats', {})}}
+    imported = wi.import_effnetv2_from_tf(tf_vars, wrapped, backbone_name)
+    apply_vars = {'params': imported['params']['backbone'],
+                  'batch_stats': imported['batch_stats']['backbone']}
+    out = bb.apply(apply_vars, jnp.asarray(x), train=False)
+    return np.asarray(out), imported
+
+
+def test_reader_matches_tf_reader_on_real_checkpoint(
+        fork_modules, tmp_path, rng):
+    """Layer 1: byte-exact agreement with TF's own reader on a checkpoint
+    written by tf.train.Checkpoint, and full_name remapping to the Keras
+    variable names (`tf_checkpoint.py:207-234`)."""
+    model = _build_fork(fork_modules, 'efficientnetv2-s', rng)
+    prefix = str(tmp_path / 'real_ckpt')
+    tf.train.Checkpoint(model=model).write(prefix)
+
+    reader = tf.train.load_checkpoint(prefix)
+    entries = tc.read_index_entries(prefix + '.index')
+    entries.pop(b'')
+    with open(prefix + '.data-00000-of-00001', 'rb') as f:
+        shard = f.read()
+    n_checked = 0
+    for key in reader.get_variable_to_shape_map():
+        want = reader.get_tensor(key)
+        if not isinstance(want, np.ndarray) or want.dtype == object:
+            continue  # the object-graph string tensor
+        e = tc._parse_bundle_entry(entries[key.encode()])
+        got = np.frombuffer(
+            shard[e['offset']:e['offset'] + e['size']],
+            want.dtype).reshape(e['shape'])
+        np.testing.assert_array_equal(got, want, err_msg=key)
+        n_checked += 1
+    assert n_checked > 200  # effnetv2-s has 230 model variables
+
+    # full_name remapping: load_tf_checkpoint keys tensors by the original
+    # Keras variable names, exactly what the import mappings consume.
+    loaded = tc.load_tf_checkpoint(prefix)
+    for v in model.variables:
+        name = v.name.split(':')[0]
+        assert name in loaded, f'full_name {name} not recovered'
+        np.testing.assert_array_equal(loaded[name], v.numpy(), err_msg=name)
+
+
+def test_import_from_real_checkpoint_lands_exact_values(
+        fork_modules, tmp_path, rng):
+    """Layer 2: the full chain real-ckpt -> load_tf_checkpoint ->
+    import_effnetv2_from_tf places every fork variable at the right flax
+    parameter (validated via the mapping's own inverse transform)."""
+    import flax
+
+    model = _build_fork(fork_modules, 'efficientnetv2-s', rng)
+    prefix = str(tmp_path / 'real_ckpt')
+    tf.train.Checkpoint(model=model).write(prefix)
+    tf_vars = tc.load_tf_checkpoint(prefix)
+
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    bb = build_backbone('efficientnetv2-s', dtype=jnp.float32,
+                        scan_blocks=False)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+    wrapped = {'params': {'backbone': variables['params']},
+               'batch_stats': {'backbone': variables.get('batch_stats', {})}}
+    imported = wi.import_effnetv2_from_tf(tf_vars, wrapped, 'efficientnetv2-s')
+
+    pairs = wi.import_effnetv2_from_tf(None, wrapped, 'efficientnetv2-s')
+    flat = flax.traverse_util.flatten_dict(imported, sep='/')
+    fork_by_name = {v.name.split(':')[0]: v.numpy() for v in model.variables}
+    for path, tf_name, transform in pairs:
+        want = fork_by_name[tf_name]
+        if transform is not None:
+            want = transform(want)
+        np.testing.assert_array_equal(
+            np.asarray(flat[path]), want, err_msg=f'{path} <- {tf_name}')
+
+
+@pytest.mark.parametrize('name', ['efficientnetv2-s', 'efficientnetv2-s-stride16'])
+def test_effnetv2_forward_parity_vs_executed_fork(fork_modules, rng, name):
+    """Layer 3: feature-map parity with the executed reference fork on shared
+    random weights. The -stride16 variant exercises the dilated blocks and
+    the centered-stride bottom-right shift (`effnetv2_model.py:296-427`),
+    SURVEY §7's top silent-mm-error candidate."""
+    model = _build_fork(fork_modules, name, rng)
+    x = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
+    want = model(tf.constant(x), training=False).numpy()
+    got, _ = _flax_from_fork(model, name, x)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max()
+    assert scale > 0
+    np.testing.assert_allclose(got, want, atol=2e-4 * max(scale, 1.0), rtol=2e-4)
