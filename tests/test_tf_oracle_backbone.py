@@ -46,13 +46,15 @@ def fork_modules():
     _reference_oracle._install_stubs()
     if _reference_oracle.REF_ROOT not in sys.path:
         sys.path.append(_reference_oracle.REF_ROOT)
-    # The fork does a bare `import keras` and expects Keras 2 (its
-    # environment.yml pins TF 2.x); alias it to tf_keras BEFORE the fork
-    # import, otherwise its BatchNormalization subclasses Keras 3 and the
-    # BN variables silently vanish from model.variables.
+    # The forks do a bare `import keras` and expect Keras 2 internals (their
+    # environment.yml pins TF 2.x); alias it to tf_keras.src (the legacy
+    # keras-2 package layout: keras.layers.VersionAwareLayers,
+    # keras.applications.imagenet_utils, ...) BEFORE the fork imports,
+    # otherwise BatchNormalization subclasses Keras 3 and the BN variables
+    # silently vanish from model.variables.
     if 'metrabs_tf.backbones.efficientnet.effnetv2_utils' not in sys.modules:
         import tf_keras
-        sys.modules['keras'] = tf_keras
+        sys.modules['keras'] = tf_keras.src
     from metrabs_tf.backbones.efficientnet import (  # noqa: PLC0415
         effnetv2_model, effnetv2_utils)
     # The reference builder configures the BN class before model construction
@@ -184,6 +186,118 @@ def test_import_from_real_checkpoint_lands_exact_values(
             want = transform(want)
         np.testing.assert_array_equal(
             np.asarray(flat[path]), want, err_msg=f'{path} <- {tf_name}')
+
+
+@pytest.fixture(scope='module')
+def mnv3_fork_module(fork_modules):
+    """The reference MobileNetV3 fork (keras-applications fork with the
+    centered_stride/bottomright extension, `backbones/mobilenet_v3.py`).
+    Reuses fork_modules for the keras->tf_keras.src alias."""
+    from metrabs_tf.backbones import mobilenet_v3  # noqa: PLC0415
+    return mobilenet_v3
+
+
+def _build_mnv3_fork(mnv3_fork_module, variant, rng, minimalistic=False):
+    key = f'mnv3-{variant}-{minimalistic}'
+    if key in _FORK_CACHE:
+        return _FORK_CACHE[key]
+    tf.keras.backend.clear_session()
+    cls = getattr(mnv3_fork_module, f'MobileNetV3{variant.capitalize()}')
+    # centered_stride=True is the reference training default
+    # (`backbones/builder.py:66-80` passes FLAGS.centered_stride).
+    model = cls(include_top=False, weights=None, minimalistic=minimalistic,
+                input_shape=(None, None, 3), centered_stride=True,
+                pooling=None)
+    _randomize_variables(model, rng)
+    _FORK_CACHE[key] = model
+    return model
+
+
+@pytest.mark.parametrize('variant', ['large', 'small'])
+def test_mobilenetv3_forward_parity_vs_executed_fork(
+        fork_modules, mnv3_fork_module, rng, variant):
+    """Forward parity of the flax MobileNetV3 + its TF import mapping against
+    the executed reference fork (shared random weights, centered stride)."""
+    import flax
+
+    from metrabs_tpu.models.backbones.builder import build_backbone
+
+    model = _build_mnv3_fork(mnv3_fork_module, variant, rng)
+    x = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
+    want = model(tf.constant(x), training=False).numpy()
+
+    tf_vars = {v.name.split(':')[0]: v.numpy() for v in model.variables}
+    bb = build_backbone(f'mobilenetv3-{variant}', dtype=jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    wrapped = {'params': {'backbone': variables['params']},
+               'batch_stats': {'backbone': variables.get('batch_stats', {})}}
+    imported = wi.import_mobilenetv3_from_tf(tf_vars, wrapped)
+    apply_vars = {'params': imported['params']['backbone'],
+                  'batch_stats': imported['batch_stats']['backbone']}
+    got = np.asarray(bb.apply(apply_vars, jnp.asarray(x), train=False))
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max()
+    assert scale > 0
+    np.testing.assert_allclose(got, want, atol=2e-4 * max(scale, 1.0), rtol=2e-4)
+
+    # Full mapping coverage of the flax tree (no silently random params).
+    pairs = wi.import_mobilenetv3_from_tf(None, wrapped)
+    mapped = {p for p, _, _ in pairs}
+    flat = flax.traverse_util.flatten_dict(wrapped, sep='/')
+    missing = sorted(k for k in flat if k not in mapped)
+    assert not missing, missing[:8]
+
+
+@pytest.mark.parametrize('variant', ['resnet50', 'resnet50v2'])
+def test_resnet_forward_parity_vs_keras_applications(rng, variant):
+    """Forward parity of the flax ResNet + TF import mapping against stock
+    tf_keras keras-applications ResNet50/ResNet50V2.
+
+    The reference's fork (`backbones/resnet.py`) keeps keras-applications
+    layer naming and, at the default equal train/test stride 32, its
+    fleras Conv2DDenseSame/TrainTestSwitch machinery reduces to the stock
+    graph (the test-time pads/crops at resnet.py:189-190,417-431 only
+    activate when stride_test differs) — so the stock model is a faithful
+    executable oracle for the base graphs. fleras itself is unavailable
+    here, which keeps the dilated fork variants oracle-blocked (documented
+    in PARITY.md)."""
+    import flax
+    import tf_keras
+
+    from metrabs_tpu.models.backbones.builder import build_backbone
+
+    tf.keras.backend.clear_session()
+    if variant == 'resnet50':
+        cls = tf_keras.src.applications.resnet.ResNet50
+    else:
+        cls = tf_keras.src.applications.resnet_v2.ResNet50V2
+    model = cls(include_top=False, weights=None, input_shape=(None, None, 3))
+    _randomize_variables(model, rng)
+
+    x = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
+    want = model(tf.constant(x), training=False).numpy()
+
+    tf_vars = {v.name.split(':')[0]: v.numpy() for v in model.variables}
+    bb = build_backbone(variant, dtype=jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    wrapped = {'params': {'backbone': variables['params']},
+               'batch_stats': {'backbone': variables.get('batch_stats', {})}}
+    imported = wi.import_resnet_from_tf(tf_vars, wrapped)
+    apply_vars = {'params': imported['params']['backbone'],
+                  'batch_stats': imported['batch_stats']['backbone']}
+    got = np.asarray(bb.apply(apply_vars, jnp.asarray(x), train=False))
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max()
+    assert scale > 0
+    np.testing.assert_allclose(got, want, atol=2e-4 * max(scale, 1.0), rtol=2e-4)
+
+    pairs = wi.import_resnet_from_tf(None, wrapped)
+    mapped = {p for p, _, _ in pairs}
+    flat = flax.traverse_util.flatten_dict(wrapped, sep='/')
+    missing = sorted(k for k in flat if k not in mapped)
+    assert not missing, missing[:8]
 
 
 @pytest.mark.parametrize('name', ['efficientnetv2-s', 'efficientnetv2-s-stride16'])
