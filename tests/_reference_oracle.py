@@ -58,10 +58,21 @@ def _install_stubs():
         spu.load_pickle = lambda path: BONE_MEANS[0]
         spu.logger = logging.getLogger('reference_oracle')
 
+    if 'fleras' not in sys.modules:
+        fl = _module('fleras')
+
+        class ModelTrainer:  # bare base: the oracle never runs fit loops
+            pass
+
+        fl.ModelTrainer = ModelTrainer
+
     if 'posepile' not in sys.modules:
         pp = _module('posepile')
         ds3d = _module('posepile.datasets3d')
+        paths = _module('posepile.paths')
+        paths.DATA_ROOT = '/nonexistent-posepile-data-root'
         pp.datasets3d = ds3d
+        pp.paths = paths
 
         def _unavailable(*a, **k):
             raise NotImplementedError(
@@ -158,3 +169,21 @@ def load_reference():
         plausibility_check=plausibility_check, warping=warping,
         procrustes_np=procrustes_np)
     return _cached
+
+
+_cached_models = None
+
+
+def load_reference_models():
+    """Additionally imports the real `metrabs_tf.models.metrabs` module
+    (fleras.ModelTrainer stubbed as a bare base class; posepile.paths
+    stubbed). Enables executing the reference's training-loss methods as
+    oracles (`models/metrabs.py:227-318`)."""
+    global _cached_models
+    if _cached_models is not None:
+        return _cached_models
+    base = load_reference()
+    from metrabs_tf.models import metrabs as models_metrabs
+    _cached_models = types.SimpleNamespace(models_metrabs=models_metrabs,
+                                           **vars(base))
+    return _cached_models

@@ -574,6 +574,150 @@ def test_pose_nms_matches(ref, rng):
 
 
 # ---------------------------------------------------------------------------
+# TTA schedule (multiperson_model.py:138-170)
+
+
+@pytest.mark.parametrize('mode', ['normal', '360', '360_half'])
+@pytest.mark.parametrize('num_aug', [1, 2, 3, 5, 7])
+def test_tta_schedule_matches_reference_composition(ref, mode, num_aug):
+    """make_tta_params vs the reference's TTA setup, composed from the
+    reference's OWN executed primitives with the exact call structure of
+    `multiperson_model.py:138-170` (gammas/angles/scales linspaces, the
+    sorted half-360 concat, the alternating flip pattern and the
+    flip @ Rz(-angle) matrices)."""
+    from metrabs_tpu.config import AugConfig
+    from metrabs_tpu.pipeline.tta import make_tta_params
+
+    rot_aug = 25.0
+    cfg = AugConfig(rot_aug_degrees=rot_aug,
+                    rot_aug_360=(mode == '360'),
+                    rot_aug_360_half=(mode == '360_half'))
+    ours = make_tta_params(num_aug, cfg)
+
+    tfu, tfu3d = ref.tfu, ref.tfu3d
+    want_gammas = _np(tf.cast(tfu.linspace(0.6, 1.0, num_aug), tf.float32))
+    if mode == '360_half':
+        n_norm = num_aug // 2
+        rng_norm = np.float32(np.deg2rad(rot_aug))
+        a_norm = tfu.linspace(-rng_norm, rng_norm, n_norm)
+        n_360 = num_aug - n_norm
+        rng_360 = tf.cast(np.pi, tf.float32) * (1 - 1 / tf.cast(n_360, tf.float32))
+        a_360 = tfu.linspace(-rng_360, rng_360, n_360)
+        want_angles = _np(tf.sort(tf.concat([a_norm, a_360], axis=0)))
+    elif mode == '360':
+        rng_360 = tf.cast(np.pi, tf.float32) * (1 - 1 / tf.cast(num_aug, tf.float32))
+        want_angles = _np(tfu.linspace(-rng_360, rng_360, num_aug))
+    else:
+        rng_norm = np.float32(np.deg2rad(rot_aug))
+        want_angles = _np(tfu.linspace(-rng_norm, rng_norm, num_aug))
+    want_scales = _np(tf.concat([
+        tfu.linspace(0.8, 1.0, num_aug // 2, endpoint=False),
+        tfu.linspace(1.0, 1.1, num_aug - num_aug // 2)], axis=0))
+    want_flip = _np((tf.range(num_aug) - num_aug // 2) % 2 != 0)
+    flipmat = tf.constant([[-1, 0, 0], [0, 1, 0], [0, 0, 1]], tf.float32)
+    maybe_flip = tf.where(
+        tf.constant(want_flip)[:, None, None], flipmat, tf.eye(3))
+    want_rotflip = _np(maybe_flip @ ref.tfu3d.rotation_mat(
+        tf.constant(-want_angles), rot_axis='z'))
+    del tfu3d
+
+    np.testing.assert_allclose(ours.gammas, want_gammas, atol=1e-6)
+    np.testing.assert_allclose(ours.angles, want_angles, atol=1e-6)
+    np.testing.assert_allclose(ours.scales, want_scales, atol=1e-6)
+    np.testing.assert_array_equal(ours.should_flip, want_flip)
+    np.testing.assert_allclose(ours.rotflip_mats, want_rotflip, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# training losses (models/metrabs.py:227-318, via the stubbed-fleras import)
+
+
+@pytest.fixture(scope='module')
+def ref_trainer(ref):
+    o = _reference_oracle.load_reference_models()
+    T = o.models_metrabs.MetrabsTrainer
+    trainer = T.__new__(T)  # the loss methods need no initialized state
+    return trainer
+
+
+def _loss_inputs(rng, batch=5, n_joints=19):
+    intr = np.array([[[1100.0, 0, 128], [0, 1100.0, 128], [0, 0, 1]]],
+                    np.float32)
+    intr = np.tile(intr, (batch, 1, 1))
+    true3d = (rng.normal(size=(batch, n_joints, 3)) * 350).astype(np.float32)
+    true3d[..., 2] += 3000
+    true3d[0, :3, 2] = 150.0      # closer than the 300mm far gate
+    pred3d = true3d + rng.normal(size=true3d.shape).astype(np.float32) * 80
+    pred3d[1, 4, :] = [5000.0, 5000.0, 3000.0]   # far outside the FOV
+    validity = rng.uniform(size=(batch, n_joints)) > 0.15
+    validity[:, :4] = True
+    return pred3d, true3d, intr, validity
+
+
+@pytest.mark.parametrize('step', [0, 99999])
+def test_loss_with_3d_gt_matches(ref, ref_trainer, rng, step):
+    from metrabs_tpu.config import ModelConfig, TrainConfig
+    from metrabs_tpu.train import losses as our_losses
+
+    pred3d, true3d, intr, validity = _loss_inputs(rng)
+    ref.flags.absloss_factor = 0.1
+    ref.flags.absloss_start_step = 5000
+    ref_trainer.train_counter = step
+    want = _np(ref_trainer.compute_loss_with_3d_gt(
+        tf.constant(pred3d), tf.constant(true3d), tf.constant(intr),
+        tf.constant(validity)))
+
+    cfg = ModelConfig(proc_side=256, stride_train=32, stride_test=32,
+                      depth=8, n_joints=19, dtype='float32')
+    tcfg = TrainConfig(absloss_factor=0.1, absloss_start_step=5000)
+    got = _np(our_losses.compute_loss_with_3d_gt(
+        jnp.asarray(pred3d), jnp.asarray(true3d), jnp.asarray(intr),
+        jnp.asarray(validity), cfg=cfg, tcfg=tcfg, step=jnp.int32(step)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_loss_with_2d_gt_matches(ref, ref_trainer, rng):
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.train import losses as our_losses
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    # 3D joint names with suffixed variants so the startswith grouping in
+    # get_2dlike_joints (`metrabs.py:396-405`) averages real groups.
+    names3d = ['nose', 'neck', 'lsho', 'lsho_smpl', 'rsho', 'rsho_smpl',
+               'lhip', 'rhip', 'pelv', 'pelv_smpl']
+    names2d = ['nose', 'neck', 'lsho', 'rsho', 'lhip', 'rhip', 'pelv']
+    ji3d = types.SimpleNamespace(
+        names=names3d, ids={n: i for i, n in enumerate(names3d)})
+    ji2d = types.SimpleNamespace(names=names2d)
+    ref_trainer.joint_info = ji3d
+    ref_trainer.joint_info_2d = ji2d
+
+    batch, n3d = 4, len(names3d)
+    intr = np.tile(np.array(
+        [[[1100.0, 0, 128], [0, 1100.0, 128], [0, 0, 1]]], np.float32),
+        (batch, 1, 1))
+    pred3d = (rng.normal(size=(batch, n3d, 3)) * 300).astype(np.float32)
+    pred3d[..., 2] += 3000
+    true2d = rng.uniform(10, 246, size=(batch, len(names2d), 2)).astype(np.float32)
+    validity2d = rng.uniform(size=(batch, len(names2d))) > 0.2
+    validity2d[:, :2] = True
+
+    want = _np(ref_trainer.compte_loss_with_2d_gt(
+        tf.constant(pred3d), tf.constant(true2d), tf.constant(intr),
+        tf.constant(validity2d)))
+
+    our_ji3d = JointInfo(names=tuple(names3d), edges=())
+    our_ji2d = JointInfo(names=tuple(names2d), edges=())
+    groups = our_losses.get_2d_joint_index_groups(our_ji3d, our_ji2d)
+    cfg = ModelConfig(proc_side=256, stride_train=32, stride_test=32,
+                      depth=8, n_joints=n3d, dtype='float32')
+    got = _np(our_losses.compute_loss_with_2d_gt(
+        jnp.asarray(pred3d), jnp.asarray(true2d), jnp.asarray(intr),
+        jnp.asarray(validity2d), groups, cfg=cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # eval_metrics.py
 
 
