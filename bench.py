@@ -26,6 +26,116 @@ import time
 ROUND1_CROPS_PER_SEC = 1040.05   # BENCH_r01.json
 ROUND1_FUSED_FPS = 14.8          # PARITY.md round-1 fused recording
 
+# v5e bf16 MXU peak per chip, for the MFU fields (PARITY.md "Crop-model MFU
+# profile" uses the same roofline).
+PEAK_BF16_TFLOPS = 197.0
+
+# VERDICT r2 #4: the 22%-MFU "VPU-bound architecture" claim was measured on
+# one backbone only. Track a cross-family table: ResNet-152 is nearly all
+# dense convs (if it also lands ~22%, scheduling work reopens; if it lands
+# high, the EffNetV2 VPU-ceiling analysis stands).
+EXTRA_BACKBONES = (('resnet152', 384, 128), ('mobilenetv3-large', 256, 128))
+
+
+def bench_crop_model(backbone_name, res, batch, iters):
+    """Timed-scan crop-model throughput + MFU for one backbone config.
+
+    Returns (crops_per_sec, mfu_info or None). Methodology notes for the
+    networked (axon) TPU:
+     - params must be jit ARGUMENTS: closures embed weights as HLO constants
+       and overflow the tunnel's remote-compile request (HTTP 413);
+     - host-side timing loops are unreliable over the tunnel (async dispatch
+       measures RPC rate, not compute), so the iteration loop runs ON DEVICE
+       as a lax.scan chained through a non-foldable data dependency, and the
+       result is read back to the host. Throughput = (t_N - t_1) difference
+       to cancel the round-trip/readback constant.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metrabs_tpu.config import ModelConfig
+    from metrabs_tpu.models.backbones.builder import build_backbone
+    from metrabs_tpu.models.metrabs import Metrabs
+
+    cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',
+                      backbone=backbone_name)
+    model = Metrabs(cfg=cfg, backbone=build_backbone(backbone_name))
+    params = jax.jit(model.init)(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
+
+    def make_runner(n_iters):
+        @jax.jit
+        def run(p, image, intrinsics):
+            def body(img, _):
+                poses = model.apply(p, img, intrinsics, train=False)
+                feedback = (jnp.tanh(jnp.sum(poses)) * 1e-12).astype(img.dtype)
+                return img + feedback, poses[0, 0, 0]
+            _, samples = jax.lax.scan(body, image, None, length=n_iters)
+            return samples
+        return run
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(size=(batch, res, res, 3)), jnp.bfloat16)
+    K = jnp.tile(jnp.asarray(np.array(
+        [[400.0, 0, res / 2], [0, 400.0, res / 2], [0, 0, 1]], np.float32))[None],
+        (batch, 1, 1))
+
+    run_n = make_runner(iters)
+    run_1 = make_runner(1)
+
+    # Warmup/compile both programs.
+    np.asarray(run_1(params, image, K))
+    np.asarray(run_n(params, image, K))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, image, K))  # host read: cannot be faked
+        return time.perf_counter() - t0
+
+    t_1 = min(timed(run_1) for _ in range(3))
+    t_n = min(timed(run_n) for _ in range(3))
+    crops_per_sec = batch * (iters - 1) / max(t_n - t_1, 1e-9)
+
+    # Achieved TFLOP/s + MFU from XLA's cost analysis of the one-batch
+    # forward. Two subtleties: (a) cost_analysis counts a lax.scan body ONCE
+    # (not x trip count), so the FLOPs must be measured on the UNSCANNED
+    # block layout (same math; pinned equivalent by tests/test_scan_convert);
+    # (b) lowered (pre-compile) analysis suffices and avoids a second large
+    # remote compile — conv flops don't change under XLA optimization.
+    mfu = None
+    try:
+        flops_model = Metrabs(cfg=cfg, backbone=build_backbone(
+            backbone_name, scan_blocks=False))
+        flops_params = jax.eval_shape(
+            lambda: flops_model.init(
+                {'params': jax.random.PRNGKey(0)},
+                jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None]))
+        # Lower for the CPU backend: flops are a property of the HLO, the
+        # CPU lowering analyzes WITHOUT compiling, and the axon (remote TPU)
+        # backend returns None from pre-compile cost_analysis.
+        lowered = jax.jit(
+            lambda p, im, k: flops_model.apply(p, im, k, train=False),
+            backend='cpu',
+        ).lower(flops_params,
+                jax.ShapeDtypeStruct(image.shape, image.dtype),
+                jax.ShapeDtypeStruct(K.shape, K.dtype))
+        costs = lowered.cost_analysis()
+        if isinstance(costs, (list, tuple)):
+            costs = costs[0]
+        flops_per_batch = float(costs['flops'])
+        tflops = flops_per_batch * (crops_per_sec / batch) / 1e12
+        mfu = {
+            'gflops_per_crop': round(flops_per_batch / batch / 1e9, 2),
+            'achieved_tflops': round(tflops, 2),
+            'mfu_pct': round(100.0 * tflops / PEAK_BF16_TFLOPS, 2),
+        }
+    except Exception as e:  # cost_analysis availability varies by backend
+        print(f'cost_analysis unavailable for {backbone_name}: {e!r}',
+              file=sys.stderr)
+    return crops_per_sec, mfu
+
 
 def bench_fused_pipeline():
     """Fused detect_poses_batched fps (the scripts/bench_fused.py config)."""
@@ -65,9 +175,10 @@ def bench_fused_pipeline():
         # (the parity default is exact lax.top_k; keep bench comparable).
         detector=PersonDetector(det_model, det_vars, approx_top_k=True))
 
-    def run(threshold):
+    def run(threshold, internal_batch_size=64):
         return est.detect_poses_batched(
             images, num_aug=2, max_detections=16,
+            internal_batch_size=internal_batch_size,
             detector_threshold=threshold)['poses3d']
 
     # Two deterministic workload regimes (the threshold is a traced scalar,
@@ -78,17 +189,22 @@ def bench_fused_pipeline():
     #  - sparse: threshold 1.0 yields zero valid detections, exposing the
     #    detector + fixed pipeline overhead floor that real few-person
     #    scenes approach thanks to runtime chunk skipping.
-    def timeit(threshold):
-        jax.block_until_ready(run(threshold))
+    def timeit(threshold, internal_batch_size=64):
+        jax.block_until_ready(run(threshold, internal_batch_size))
         times = []
         for _ in range(8):
             t0 = time.perf_counter()
-            out = run(threshold)
+            out = run(threshold, internal_batch_size)
             np.asarray(out)
             times.append(time.perf_counter() - t0)
         return frames / min(times)
 
     dense_fps, sparse_fps = timeit(0.0), timeit(1.0)
+    # The measured dense +9% config (`estimator.py`: one 256-crop chunk,
+    # VERDICT r2 #8) as a tracked variant; separate compiled program.
+    dense_fps_ibs256 = (
+        None if os.environ.get('BENCH_SKIP_IBS256')
+        else timeit(0.0, internal_batch_size=256))
 
     # Streamed-serving regime (BENCH_STREAM=K, 0 disables): one device
     # dispatch runs K frame-batches via detect_poses_stream, amortizing the
@@ -115,7 +231,7 @@ def bench_fused_pipeline():
 
         stream = (timeit_stream(0.0), timeit_stream(1.0))
 
-    return dense_fps, sparse_fps, stream
+    return dense_fps, sparse_fps, dense_fps_ibs256, stream
 
 
 def main():
@@ -149,62 +265,24 @@ def main():
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from metrabs_tpu.config import ModelConfig
-    from metrabs_tpu.models.backbones.builder import build_backbone
-    from metrabs_tpu.models.metrabs import Metrabs
 
     backbone_name = os.environ.get('BENCH_BACKBONE', 'efficientnetv2-l')
     res = int(os.environ.get('BENCH_RES', '384'))
     batch = int(os.environ.get('BENCH_BATCH', '128'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))
 
-    cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',
-                      backbone=backbone_name)
-    model = Metrabs(cfg=cfg, backbone=build_backbone(backbone_name))
-    params = jax.jit(model.init)(
-        {'params': jax.random.PRNGKey(0)},
-        jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
+    crops_per_sec, headline_mfu = bench_crop_model(
+        backbone_name, res, batch, iters)
 
-    # Methodology notes for the networked (axon) TPU:
-    #  - params must be jit ARGUMENTS: closures embed weights as HLO constants
-    #    and overflow the tunnel's remote-compile request (HTTP 413);
-    #  - host-side timing loops are unreliable over the tunnel (async dispatch
-    #    measures RPC rate, not compute), so the iteration loop runs ON DEVICE
-    #    as a lax.scan chained through a non-foldable data dependency, and the
-    #    result is read back to the host. Throughput = (t_N - t_1) difference
-    #    to cancel the round-trip/readback constant.
-    def make_runner(n_iters):
-        @jax.jit
-        def run(p, image, intrinsics):
-            def body(img, _):
-                poses = model.apply(p, img, intrinsics, train=False)
-                feedback = (jnp.tanh(jnp.sum(poses)) * 1e-12).astype(img.dtype)
-                return img + feedback, poses[0, 0, 0]
-            _, samples = jax.lax.scan(body, image, None, length=n_iters)
-            return samples
-        return run
-
-    rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.uniform(size=(batch, res, res, 3)), jnp.bfloat16)
-    K = jnp.tile(jnp.asarray(np.array(
-        [[400.0, 0, res / 2], [0, 400.0, res / 2], [0, 0, 1]], np.float32))[None],
-        (batch, 1, 1))
-
-    run_n = make_runner(iters)
-    run_1 = make_runner(1)
-
-    # Warmup/compile both programs.
-    np.asarray(run_1(params, image, K))
-    np.asarray(run_n(params, image, K))
-
-    def timed(fn):
-        t0 = time.perf_counter()
-        np.asarray(fn(params, image, K))  # host read: cannot be faked
-        return time.perf_counter() - t0
-
-    t_1 = min(timed(run_1) for _ in range(3))
-    t_n = min(timed(run_n) for _ in range(3))
-    crops_per_sec = batch * (iters - 1) / max(t_n - t_1, 1e-9)
+    extra = {}
+    if not os.environ.get('BENCH_SKIP_EXTRA_BACKBONES'):
+        for name, eres, ebatch in EXTRA_BACKBONES:
+            try:
+                cps, mfu = bench_crop_model(name, eres, ebatch, iters)
+                extra[f'{name}@{eres}'] = dict(
+                    crops_per_sec=round(cps, 2), **(mfu or {}))
+            except Exception as e:
+                print(f'extra backbone {name} failed: {e!r}', file=sys.stderr)
 
     fused = None
     if not os.environ.get('BENCH_SKIP_FUSED'):
@@ -218,12 +296,22 @@ def main():
         'value': round(crops_per_sec, 2),
         'unit': 'crops/s',
         'vs_baseline': round(crops_per_sec / ROUND1_CROPS_PER_SEC, 4),
+        # Host-contention indicator: the stream-sparse number especially is
+        # fragile to a busy host (observed 606 vs 296 fps same-day,
+        # PARITY.md) — round-over-round comparisons need this context.
+        'loadavg_1m': round(os.getloadavg()[0], 2),
     }
+    if headline_mfu:
+        record['headline_mfu'] = headline_mfu
+    if extra:
+        record['extra_backbones'] = extra
     if fused is not None:
-        dense_fps, sparse_fps, stream = fused
+        dense_fps, sparse_fps, dense_fps_ibs256, stream = fused
         record['fused_detect_fps'] = round(dense_fps, 2)
         record['fused_detect_vs_r01'] = round(dense_fps / ROUND1_FUSED_FPS, 4)
         record['fused_detect_fps_sparse'] = round(sparse_fps, 2)
+        if dense_fps_ibs256 is not None:
+            record['fused_detect_fps_ibs256'] = round(dense_fps_ibs256, 2)
         if stream is not None:
             record['stream_detect_fps'] = round(stream[0], 2)
             record['stream_detect_fps_sparse'] = round(stream[1], 2)

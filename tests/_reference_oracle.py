@@ -54,7 +54,8 @@ def _install_stubs():
             centered_stride=True, box_size_mm=2200.0,
             weak_perspective=False, mean_relative=True,
             bone_length_dataset='', bone_length_file='<injected>',
-            dataset3d='')
+            dataset3d='', loss2d_factor=0.2, absloss_factor=0.1,
+            absloss_start_step=5000)
         spu.load_pickle = lambda path: BONE_MEANS[0]
         spu.logger = logging.getLogger('reference_oracle')
 
@@ -184,6 +185,10 @@ def load_reference_models():
         return _cached_models
     base = load_reference()
     from metrabs_tf.models import metrabs as models_metrabs
+    from metrabs_tf.models import metro as models_metro
+    from metrabs_tf.models import twofive as models_twofive
     _cached_models = types.SimpleNamespace(models_metrabs=models_metrabs,
+                                           models_metro=models_metro,
+                                           models_twofive=models_twofive,
                                            **vars(base))
     return _cached_models

@@ -717,6 +717,145 @@ def test_loss_with_2d_gt_matches(ref, ref_trainer, rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
 
 
+def test_align_2d_skeletons_matches(ref, rng):
+    from metrabs_tpu.models.metro import align_2d_skeletons
+
+    pred = rng.uniform(0, 256, size=(4, 12, 2)).astype(np.float32)
+    true = rng.uniform(0, 256, size=(4, 12, 2)).astype(np.float32)
+    mask = rng.uniform(size=(4, 12)) > 0.2
+    mask[:, :3] = True
+    got = _np(align_2d_skeletons(
+        jnp.asarray(pred), jnp.asarray(true), jnp.asarray(mask)))
+    want = _np(ref.models_util.align_2d_skeletons(
+        tf.constant(pred), tf.constant(true), tf.constant(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def _group_mean_2d(coords, groups):
+    return np.stack(
+        [coords[:, list(g), :2].mean(axis=1) for g in groups], axis=1)
+
+
+def test_metro_losses_match(ref, rng):
+    from attrdict import AttrDict
+    from metrabs_tpu.config import ModelConfig, TrainConfig
+    from metrabs_tpu.models import metro as our_metro
+    from metrabs_tpu.train import losses as our_losses
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    o = _reference_oracle.load_reference_models()
+    T = o.models_metro.MetroTrainer
+    trainer = T.__new__(T)
+
+    names3d = ['nose', 'neck', 'lsho', 'lsho_smpl', 'rsho', 'rsho_smpl']
+    names2d = ['nose', 'neck', 'lsho', 'rsho']
+    batch, n3d, n2d = 4, len(names3d), len(names2d)
+    true3d = (rng.normal(size=(batch, n3d, 3)) * 300).astype(np.float32)
+    pred3d = true3d + rng.normal(size=true3d.shape).astype(np.float32) * 70
+    mask3d = rng.uniform(size=(batch, n3d)) > 0.2
+    mask3d[:, :2] = True
+    pred3d_2dbatch = (rng.normal(size=(batch, n3d, 3)) * 300).astype(np.float32)
+    pred3d_2dbatch[..., :2] += 128
+    true2d_2d = rng.uniform(10, 246, size=(batch, n2d, 2)).astype(np.float32)
+    mask2d = rng.uniform(size=(batch, n2d)) > 0.2
+    mask2d[:, :2] = True
+
+    our_ji3d = JointInfo(names=tuple(names3d), edges=())
+    our_ji2d = JointInfo(names=tuple(names2d), edges=())
+    groups = our_losses.get_2d_joint_index_groups(our_ji3d, our_ji2d)
+
+    # The reference's forward_train feeds compute_losses an already-grouped
+    # 2D prediction (`metro.py:60-80`); replicate that grouping host-side.
+    pred2d_grouped = _group_mean_2d(pred3d_2dbatch, groups).astype(np.float32)
+    inps = AttrDict(
+        coords3d_true=tf.constant(true3d),
+        joint_validity_mask=tf.constant(mask3d),
+        coords2d_true_2d=tf.constant(true2d_2d),
+        joint_validity_mask_2d=tf.constant(mask2d))
+    preds = AttrDict(coords3d_rel_pred=tf.constant(pred3d),
+                     coords2d_pred_2d=tf.constant(pred2d_grouped))
+    want = trainer.compute_losses(inps, preds)
+
+    cfg = ModelConfig(proc_side=256, stride_train=32, stride_test=32,
+                      depth=8, n_joints=n3d, dtype='float32')
+    tcfg = TrainConfig()
+    got = our_metro.compute_metro_losses(
+        jnp.asarray(pred3d), jnp.asarray(pred3d_2dbatch),
+        dict(coords3d_true=jnp.asarray(true3d),
+             joint_validity_mask=jnp.asarray(mask3d)),
+        dict(coords2d_true=jnp.asarray(true2d_2d),
+             joint_validity_mask=jnp.asarray(mask2d)),
+        groups, cfg=cfg, tcfg=tcfg)
+    for key in ('loss3d', 'loss2d', 'loss'):
+        np.testing.assert_allclose(
+            _np(got[key]), _np(want[key]), rtol=2e-4, atol=1e-6, err_msg=key)
+
+
+def test_model25d_losses_match(ref, rng):
+    from attrdict import AttrDict
+    from metrabs_tpu.config import ModelConfig, TrainConfig
+    from metrabs_tpu.models import model25d as our_25d
+    from metrabs_tpu.train import losses as our_losses
+    from metrabs_tpu.utils.joint_info import JointInfo
+
+    o = _reference_oracle.load_reference_models()
+    T = o.models_twofive.Model25DTrainer
+    trainer = T.__new__(T)
+
+    names3d = ['nose', 'neck', 'lsho', 'lsho_smpl', 'rsho', 'rsho_smpl']
+    names2d = ['nose', 'neck', 'lsho', 'rsho']
+    batch, n3d, n2d = 4, len(names3d), len(names2d)
+    box = 2200.0
+    true3d = (rng.normal(size=(batch, n3d, 3)) * 300).astype(np.float32)
+    true2d = rng.uniform(10, 246, size=(batch, n3d, 2)).astype(np.float32)
+    pred25d = np.concatenate([
+        rng.uniform(10, 246, size=(batch, n3d, 2)),
+        rng.uniform(0.3 * box, 0.7 * box, size=(batch, n3d, 1))],
+        axis=-1).astype(np.float32)
+    pred25d_2dbatch = np.concatenate([
+        rng.uniform(10, 246, size=(batch, n3d, 2)),
+        rng.uniform(0.3 * box, 0.7 * box, size=(batch, n3d, 1))],
+        axis=-1).astype(np.float32)
+    mask3d = rng.uniform(size=(batch, n3d)) > 0.2
+    mask3d[:, :2] = True
+    true2d_2d = rng.uniform(10, 246, size=(batch, n2d, 2)).astype(np.float32)
+    mask2d = rng.uniform(size=(batch, n2d)) > 0.2
+    mask2d[:, :2] = True
+
+    our_ji3d = JointInfo(names=tuple(names3d), edges=())
+    our_ji2d = JointInfo(names=tuple(names2d), edges=())
+    groups = our_losses.get_2d_joint_index_groups(our_ji3d, our_ji2d)
+    pred2d_grouped = _group_mean_2d(pred25d_2dbatch, groups).astype(np.float32)
+
+    inps = AttrDict(
+        coords2d_true=tf.constant(true2d),
+        coords3d_true=tf.constant(true3d),
+        joint_validity_mask=tf.constant(mask3d),
+        coords2d_true_2d=tf.constant(true2d_2d),
+        joint_validity_mask_2d=tf.constant(mask2d))
+    preds = AttrDict(
+        coords2d_pred=tf.constant(pred25d[..., :2]),
+        coords25d_pred=tf.constant(pred25d),
+        coords2d_pred_2d=tf.constant(pred2d_grouped))
+    ref.flags.box_size_mm = box
+    want = trainer.compute_losses(inps, preds)
+
+    cfg = ModelConfig(proc_side=256, stride_train=32, stride_test=32,
+                      depth=8, n_joints=n3d, dtype='float32',
+                      box_size_mm=box)
+    got = our_25d.compute_model25d_losses(
+        jnp.asarray(pred25d), jnp.asarray(pred25d_2dbatch),
+        dict(coords3d_true=jnp.asarray(true3d),
+             coords2d_true=jnp.asarray(true2d),
+             joint_validity_mask=jnp.asarray(mask3d)),
+        dict(coords2d_true=jnp.asarray(true2d_2d),
+             joint_validity_mask=jnp.asarray(mask2d)),
+        groups, cfg=cfg, tcfg=TrainConfig())
+    for key in ('loss23d', 'loss_z', 'loss2d', 'loss3d', 'loss'):
+        np.testing.assert_allclose(
+            _np(got[key]), _np(want[key]), rtol=2e-4, atol=1e-6, err_msg=key)
+
+
 # ---------------------------------------------------------------------------
 # eval_metrics.py
 
