@@ -307,13 +307,18 @@ class ResNet(nn.Module):
         # stride alone (`resnet.py:186-193,666`: bottomright_maxpool_test =
         # stride_test == 4 inside a TrainTestSwitchLayer whose train branch
         # is always the symmetric pad — independent of centered_stride).
+        # ZERO padding, not -inf: the reference pads with ZeroPadding2D
+        # before the VALID maxpool (`resnet.py:187-194`), so border windows
+        # max AGAINST 0. Equivalent after V1's stem relu (inputs >= 0), but
+        # semantically different for V2's preact stem where the raw conv
+        # output enters the pool (negative border values clamp to 0 in the
+        # reference) — caught by the executed-keras oracle
+        # (tests/test_tf_oracle_backbone.py, resnet50v2).
         stride_test_eff = self.output_stride_test or self.output_stride
         if not train and stride_test_eff == 4:
-            h = jnp.pad(h, ((0, 0), (0, 2), (0, 2), (0, 0)),
-                        constant_values=-jnp.inf)
+            h = jnp.pad(h, ((0, 0), (0, 2), (0, 2), (0, 0)))
         else:
-            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                        constant_values=-jnp.inf)
+            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding='VALID')
 
         stage_filters = [64, 128, 256, 512]

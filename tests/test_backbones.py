@@ -206,3 +206,32 @@ def test_remat_identical_params_and_outputs(name):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         g['params'], g_r['params'])
     del chex
+
+
+@pytest.mark.parametrize('kernel', [1, 3])
+def test_dense_same_conv_bottomright_sampling(kernel):
+    """Pins the bottom-right-shift sampling grid of DenseSameConv — the
+    centered-stride machinery the reference applies to the LAST strided
+    stage even at stride 32 (`resnet.py:601-606`: brs[i_last_strided]).
+
+    With an identity (delta) kernel, a strided conv is pure subsampling:
+    br=False must pick input rows/cols (0, 2, 4, ...) (stock keras SAME
+    alignment for even sizes) and br=True must pick (1, 3, 5, ...). For
+    kernel=1 the shift exercises the negative-padding crop-begin path
+    (`models/backbones/resnet.py:72-77`); the same fixed_padding_amounts
+    helper drives the (fork-oracled) EffNetV2 br blocks."""
+    from metrabs_tpu.models.backbones.resnet import DenseSameConv
+
+    x = np.zeros((1, 8, 8, 1), np.float32)
+    x[0, :, :, 0] = np.arange(64).reshape(8, 8)
+    for br, want_start in [(False, 0), (True, 1)]:
+        conv = DenseSameConv(features=1, kernel=kernel, stride=2,
+                             bottomright=br, use_bias=False,
+                             dtype=jnp.float32)
+        v = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        k = np.zeros((kernel, kernel, 1, 1), np.float32)
+        k[kernel // 2, kernel // 2, 0, 0] = 1.0  # delta at the tap center
+        v = {'params': {'conv': {'kernel': jnp.asarray(k)}}}
+        y = np.asarray(conv.apply(v, jnp.asarray(x)))[0, :, :, 0]
+        want = x[0, want_start::2, want_start::2, 0]
+        np.testing.assert_array_equal(y, want, err_msg=f'br={br} k={kernel}')

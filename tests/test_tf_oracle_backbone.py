@@ -11,7 +11,12 @@ Three layers of evidence, strongest last:
  3. Forward-activation parity: the imported flax EfficientNetV2-S (and the
     -stride16 dilated/bottom-right-shift variant, SURVEY §7's #4 silent-mm-
     error source) matches the executed reference fork's feature maps on
-    shared random weights.
+    shared random weights. Weights are fan-in-scaled and every forward test
+    asserts input sensitivity of the oracle output — with under-scaled
+    weights a deep net's output becomes exactly input-independent and the
+    parity assertion silently degenerates to bias propagation. Inputs follow
+    the deployment composition: our modules take [0,1] crops (preproc
+    inside), the TF oracle gets the preproc'd tensor.
 
 Reference cites: `metrabs_tf/backbones/efficientnet/effnetv2_model.py`
 (fork), `metrabs_pytorch/convert_model_from_tf.py:89-202` (name space),
@@ -41,8 +46,9 @@ pytestmark = pytest.mark.skipif(
            '(TF_USE_LEGACY_KERAS=1 before first tf import)')
 
 
-@pytest.fixture(scope='module')
-def fork_modules():
+def get_fork_modules():
+    """Plain-function core of the `fork_modules` fixture so other oracle
+    test modules (tests/test_full_model_oracle.py) can share it."""
     _reference_oracle._install_stubs()
     if _reference_oracle.REF_ROOT not in sys.path:
         sys.path.append(_reference_oracle.REF_ROOT)
@@ -63,20 +69,70 @@ def fork_modules():
     return effnetv2_model, effnetv2_utils
 
 
+@pytest.fixture(scope='module')
+def fork_modules():
+    return get_fork_modules()
+
+
+# Kernel scale as a fraction of He init. Measured tradeoff on the executed
+# efficientnetv2-s fork (128px):
+#   gain 1.0: chaotic — activations explode (|out| ~1.6e6) and a 1e-6 input
+#             perturbation decorrelates the output (rel err 0.61), so any two
+#             CORRECT implementations disagree at O(1);
+#   gain 0.8: input sensitivity 6.3e-2, fp-noise amplification 6.4e-7,
+#             flax-vs-fork rel err 1.2e-6 — signal propagates, noise doesn't;
+#   gain 0.5: input sensitivity collapses to 7e-6 (vacuous-test regime).
+_KERNEL_GAIN = 0.8
+
+
 def _randomize_variables(model, rng):
     """No special values anywhere: randomizes every variable (incl. BN
     moving stats and betas) so swapped gamma/beta or mean/var mappings
-    cannot hide behind the 0/1 initialization."""
+    cannot hide behind the 0/1 initialization.
+
+    Kernel scales are fan-in-matched at `_KERNEL_GAIN` x He init: a flat
+    0.05 scale makes deep nets EXACTLY input-independent at the output (the
+    per-layer signal contraction drops the input contribution below f32
+    resolution relative to the bias/BN-driven component within ~10 blocks —
+    measured |f(x)-f(0)| == 0.0 on efficientnetv2-s), which silently turns
+    forward-parity tests into bias-propagation tests; full He init is
+    chaotic (see _KERNEL_GAIN). Forward tests additionally assert input
+    sensitivity via `_assert_input_sensitive`."""
     for v in model.variables:
         shape = tuple(v.shape)
         name = v.name
-        if 'moving_variance' in name:
-            val = rng.uniform(0.5, 1.5, size=shape)
-        elif v.dtype != tf.float32:
+        if v.dtype != tf.float32:
             continue  # rng StateVars etc.
+        if 'moving_variance' in name:
+            val = rng.uniform(0.8, 1.2, size=shape)
+        elif 'moving_mean' in name:
+            val = rng.normal(size=shape) * 0.05
+        elif 'gamma' in name:
+            val = rng.uniform(0.9, 1.1, size=shape)
+        elif 'beta' in name:
+            val = rng.normal(size=shape) * 0.05
+        elif 'bias' in name:
+            # Large enough that SE sigmoid gates vary off 0.5.
+            val = rng.normal(size=shape) * 0.5
+        elif len(shape) == 4:
+            fan_in = (shape[0] * shape[1] if 'depthwise' in name
+                      else shape[0] * shape[1] * shape[2])
+            val = rng.normal(size=shape) * _KERNEL_GAIN * np.sqrt(2.0 / fan_in)
+        elif len(shape) == 2:
+            val = rng.normal(size=shape) * _KERNEL_GAIN * np.sqrt(2.0 / shape[0])
         else:
             val = rng.normal(size=shape) * 0.05
         v.assign(val.astype(np.float32))
+
+
+def _assert_input_sensitive(fwd, x, scale):
+    """Guards forward-parity tests against the vacuous regime: the oracle
+    output must actually depend on the input image."""
+    other = fwd(np.roll(x, 7, axis=2) * 0.7 + 0.1)
+    sensitivity = np.abs(np.asarray(other) - np.asarray(fwd(x))).max()
+    assert sensitivity > 1e-3 * scale, (
+        f'oracle forward is input-insensitive (delta {sensitivity}, scale '
+        f'{scale}) - randomization collapsed, parity test would be vacuous')
 
 
 _FORK_CACHE = {}
@@ -223,8 +279,14 @@ def test_mobilenetv3_forward_parity_vs_executed_fork(
     from metrabs_tpu.models.backbones.builder import build_backbone
 
     model = _build_mnv3_fork(mnv3_fork_module, variant, rng)
-    x = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
-    want = model(tf.constant(x), training=False).numpy()
+    # Deployment composition (`backbones/builder.py:78-83,116-117`): the crop
+    # pipeline emits [0,1] RGB, mobilenet_preproc scales by 255 and the fork
+    # model's internal Rescaling(1/127.5, -1) finishes the normalization. Our
+    # flax module does the whole composition from [0,1].
+    x = rng.uniform(0.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
+    fwd = lambda z: model(tf.constant(255.0 * z.astype(np.float32)),
+                          training=False).numpy()
+    want = fwd(x)
 
     tf_vars = {v.name.split(':')[0]: v.numpy() for v in model.variables}
     bb = build_backbone(f'mobilenetv3-{variant}', dtype=jnp.float32)
@@ -239,7 +301,8 @@ def test_mobilenetv3_forward_parity_vs_executed_fork(
     assert got.shape == want.shape, (got.shape, want.shape)
     scale = np.abs(want).max()
     assert scale > 0
-    np.testing.assert_allclose(got, want, atol=2e-4 * max(scale, 1.0), rtol=2e-4)
+    _assert_input_sensitive(fwd, x, scale)
+    np.testing.assert_allclose(got, want, atol=1e-3 * max(scale, 1.0), rtol=1e-3)
 
     # Full mapping coverage of the flax tree (no silently random params).
     pairs = wi.import_mobilenetv3_from_tf(None, wrapped)
@@ -255,31 +318,48 @@ def test_resnet_forward_parity_vs_keras_applications(rng, variant):
     tf_keras keras-applications ResNet50/ResNet50V2.
 
     The reference's fork (`backbones/resnet.py`) keeps keras-applications
-    layer naming and, at the default equal train/test stride 32, its
-    fleras Conv2DDenseSame/TrainTestSwitch machinery reduces to the stock
-    graph (the test-time pads/crops at resnet.py:189-190,417-431 only
+    layer naming, and at equal train/test stride 32 WITH centered_stride
+    off its fleras Conv2DDenseSame/TrainTestSwitch machinery reduces to the
+    stock graph (the test-time pads/crops at resnet.py:189-190,417-431 only
     activate when stride_test differs) — so the stock model is a faithful
-    executable oracle for the base graphs. fleras itself is unavailable
+    executable oracle for centered_stride=False. With centered_stride=True
+    (the training default) the fork bottom-right-shifts the LAST strided
+    stage even at stride 32 (`resnet.py:601-606`: brs[i_last_strided]=True),
+    which stock keras cannot express — the br path is covered against the
+    executed EffNetV2 fork instead (test_effnetv2_forward_parity, -stride16)
+    and by the flax-level striding unit tests. fleras itself is unavailable
     here, which keeps the dilated fork variants oracle-blocked (documented
     in PARITY.md)."""
     import flax
-    import tf_keras
+    # Explicit submodule imports: tf_keras.src.applications does not load
+    # its submodules lazily via attribute access.
+    from tf_keras.src.applications import resnet as keras_resnet
+    from tf_keras.src.applications import resnet_v2 as keras_resnet_v2
 
     from metrabs_tpu.models.backbones.builder import build_backbone
 
     tf.keras.backend.clear_session()
     if variant == 'resnet50':
-        cls = tf_keras.src.applications.resnet.ResNet50
+        cls = keras_resnet.ResNet50
     else:
-        cls = tf_keras.src.applications.resnet_v2.ResNet50V2
+        cls = keras_resnet_v2.ResNet50V2
     model = cls(include_top=False, weights=None, input_shape=(None, None, 3))
     _randomize_variables(model, rng)
 
-    x = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
-    want = model(tf.constant(x), training=False).numpy()
+    # Deployment composition (`backbones/builder.py:41-48,105-112`): [0,1]
+    # crops go through caffe_preproc (V1) / tf_preproc (V2) before the stock
+    # keras graph; our flax ResNet applies the same preproc internally.
+    x = rng.uniform(0.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
+    if variant == 'resnet50':
+        mean_rgb = np.array([103.939, 116.779, 123.68], np.float32)
+        preproc = lambda z: 255.0 * z.astype(np.float32) - mean_rgb
+    else:
+        preproc = lambda z: 2.0 * z.astype(np.float32) - 1.0
+    fwd = lambda z: model(tf.constant(preproc(z)), training=False).numpy()
+    want = fwd(x)
 
     tf_vars = {v.name.split(':')[0]: v.numpy() for v in model.variables}
-    bb = build_backbone(variant, dtype=jnp.float32)
+    bb = build_backbone(variant, dtype=jnp.float32, centered_stride=False)
     variables = bb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     wrapped = {'params': {'backbone': variables['params']},
                'batch_stats': {'backbone': variables.get('batch_stats', {})}}
@@ -291,7 +371,8 @@ def test_resnet_forward_parity_vs_keras_applications(rng, variant):
     assert got.shape == want.shape, (got.shape, want.shape)
     scale = np.abs(want).max()
     assert scale > 0
-    np.testing.assert_allclose(got, want, atol=2e-4 * max(scale, 1.0), rtol=2e-4)
+    _assert_input_sensitive(fwd, x, scale)
+    np.testing.assert_allclose(got, want, atol=1e-3 * max(scale, 1.0), rtol=1e-3)
 
     pairs = wi.import_resnet_from_tf(None, wrapped)
     mapped = {p for p, _, _ in pairs}
@@ -307,10 +388,16 @@ def test_effnetv2_forward_parity_vs_executed_fork(fork_modules, rng, name):
     the centered-stride bottom-right shift (`effnetv2_model.py:296-427`),
     SURVEY §7's top silent-mm-error candidate."""
     model = _build_fork(fork_modules, name, rng)
-    x = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
-    want = model(tf.constant(x), training=False).numpy()
+    # Deployment composition (`backbones/builder.py:18-20,64`): the fork sees
+    # tf_preproc'd input (2x-1); our flax module takes the [0,1] crop and
+    # applies the preproc internally.
+    x = rng.uniform(0.0, 1.0, size=(1, 128, 128, 3)).astype(np.float32)
+    fwd = lambda z: model(
+        tf.constant(2.0 * z.astype(np.float32) - 1.0), training=False).numpy()
+    want = fwd(x)
     got, _ = _flax_from_fork(model, name, x)
     assert got.shape == want.shape, (got.shape, want.shape)
     scale = np.abs(want).max()
     assert scale > 0
-    np.testing.assert_allclose(got, want, atol=2e-4 * max(scale, 1.0), rtol=2e-4)
+    _assert_input_sensitive(fwd, x, scale)
+    np.testing.assert_allclose(got, want, atol=1e-3 * max(scale, 1.0), rtol=1e-3)
