@@ -31,9 +31,11 @@ def imread(path: str) -> np.ndarray:
 
 
 def normalize01(im: np.ndarray) -> np.ndarray:
-    if np.issubdtype(im.dtype, np.integer):
-        return im.astype(np.float32) / 255.0
-    return im.astype(np.float32)
+    """uint8-range values -> [0,1] float32 (`improc.py:112-119`): /255 and
+    clip for EVERY input dtype, exactly as the reference (it never receives
+    floats in the pipeline — augmentation is uint8 end-to-end — but the
+    executed-oracle test pins the float path too)."""
+    return np.clip(im.astype(np.float32) / np.float32(255), 0.0, 1.0)
 
 
 def adjust_gamma(im: np.ndarray, gamma: float, inplace: bool = False) -> np.ndarray:

@@ -110,6 +110,53 @@ def _install_stubs():
         tfa.image = types.SimpleNamespace(
             transform=None, interpolate_bilinear=None)
 
+    if 'numba' not in sys.modules:
+        # Identity-decorator stub: numba only JIT-compiles the reference's
+        # pure-numpy kernels (`improc.py:123-145,158-235`); without it they
+        # run as plain Python with IDENTICAL semantics — exactly what an
+        # executable oracle needs. Supports @njit, @njit(...), and
+        # @njit(cache=True) decoration forms.
+        nb = _module('numba')
+
+        def _identity_jit(*args, **kwargs):
+            if len(args) == 1 and callable(args[0]) and not kwargs:
+                return args[0]
+            return lambda fn: fn
+
+        nb.njit = _identity_jit
+        nb.jit = _identity_jit
+
+    if 'jpeg4py' not in sys.modules:
+        # Module-level import in improc.py (libjpeg-turbo binding); the
+        # imread path is not oracled (our loader decodes via cv2).
+        j4 = _module('jpeg4py')
+        j4.JPEGRuntimeError = type('JPEGRuntimeError', (Exception,), {})
+
+        class _NoJPEG:
+            def __init__(self, *a, **k):
+                raise NotImplementedError('jpeg4py is stubbed in the oracle')
+
+        j4.JPEG = _NoJPEG
+
+    if 'rlemasklib' not in sys.modules:
+        rm = _module('rlemasklib')
+
+        def _rle_unavailable(*a, **k):
+            raise NotImplementedError(
+                'rlemasklib is stubbed; RLE codec parity is covered by '
+                'tests/test_improc_utils.py against utils/rlemask.py')
+
+        rm.encode = _rle_unavailable
+        rm.decode = _rle_unavailable
+        rm.resize = _rle_unavailable
+
+    if 'simplepyutils.argparse' not in sys.modules:
+        import logging
+        spa = _module('simplepyutils.argparse')
+        spa.logger = logging.getLogger('reference_oracle')
+        if 'simplepyutils' in sys.modules:
+            sys.modules['simplepyutils'].argparse = spa
+
     if 'attrdict' not in sys.modules:
         ad = _module('attrdict')
 
@@ -170,6 +217,27 @@ def load_reference():
         plausibility_check=plausibility_check, warping=warping,
         procrustes_np=procrustes_np)
     return _cached
+
+
+_cached_improc = None
+
+
+def load_reference_improc():
+    """Imports the reference's CPU image-processing module
+    (`metrabs_tf/improc.py`) as an executable oracle. Needs no TensorFlow:
+    the module is pure numpy/cv2/PIL once numba is stubbed to an identity
+    decorator (the @njit kernels then run as plain Python with identical
+    semantics)."""
+    global _cached_improc
+    if _cached_improc is not None:
+        return _cached_improc
+    _install_stubs()
+    for p in (REF_ROOT, REF_ROOT + '/metrabs_tf'):
+        if p not in sys.path:
+            sys.path.append(p)
+    from metrabs_tf import improc as ref_improc
+    _cached_improc = ref_improc
+    return _cached_improc
 
 
 _cached_models = None
