@@ -58,6 +58,10 @@ def _install_stubs():
             absloss_start_step=5000)
         spu.load_pickle = lambda path: BONE_MEANS[0]
         spu.logger = logging.getLogger('reference_oracle')
+        # voc_loader.py:16 decorates its asset loader with @spu.picklecache;
+        # a pass-through keeps the module importable (the loader itself is
+        # never called — object_occlude is excluded from the oracles).
+        spu.picklecache = lambda *a, **k: (lambda fn: fn)
 
     if 'fleras' not in sys.modules:
         fl = _module('fleras')
@@ -238,6 +242,28 @@ def load_reference_improc():
     from metrabs_tf import improc as ref_improc
     _cached_improc = ref_improc
     return _cached_improc
+
+
+_cached_aug = None
+
+
+def load_reference_augmentation():
+    """Imports the reference's appearance/color augmentation modules
+    (`metrabs_tf/augmentation/{appearance,color}.py`) as executable
+    oracles — pure numpy/cv2 given the stubs; object_occlude is excluded
+    (needs the VOC occluder asset files)."""
+    global _cached_aug
+    if _cached_aug is not None:
+        return _cached_aug
+    _install_stubs()
+    for p in (REF_ROOT, REF_ROOT + '/metrabs_tf'):
+        if p not in sys.path:
+            sys.path.append(p)
+    from metrabs_tf.augmentation import appearance, color
+    _cached_aug = types.SimpleNamespace(
+        appearance=appearance, color=color,
+        flags=sys.modules['simplepyutils'].FLAGS)
+    return _cached_aug
 
 
 _cached_models = None

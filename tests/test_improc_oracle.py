@@ -173,3 +173,52 @@ def test_get_structuring_element_matches(ref):
         want = ref.get_structuring_element(cv2.MORPH_ELLIPSE, ksize)
         got = our_masks.get_structuring_element(cv2.MORPH_ELLIPSE, ksize)
         np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# color + random-erase augmentation vs the executed reference
+# (`metrabs_tf/augmentation/{color,appearance}.py`). Both sides draw from an
+# identically-seeded np.random.Generator with the same call sequence, so
+# outputs must agree to float tolerance — this pins the op ORDER and the
+# rng protocol (shuffle, then per-op uniforms), not just per-op math.
+
+
+@pytest.fixture(scope='module')
+def ref_aug():
+    return _reference_oracle.load_reference_augmentation()
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4])
+@pytest.mark.parametrize('dtype', ['uint8', 'float32'])
+def test_augment_color_matches(ref_aug, seed, dtype):
+    from metrabs_tpu.data.augment import color as our_color
+
+    base = np.random.default_rng(99)
+    if dtype == 'uint8':
+        im = base.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    else:
+        im = base.uniform(0, 1, size=(32, 32, 3)).astype(np.float32)
+    want = ref_aug.color.augment_color(
+        im.copy(), np.random.default_rng(seed))
+    got = our_color.augment_color(im.copy(), np.random.default_rng(seed))
+    assert got.dtype == want.dtype
+    if dtype == 'uint8':
+        np.testing.assert_allclose(
+            got.astype(np.int32), want.astype(np.int32), atol=1)
+    else:
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize('seed', [0, 7, 13])
+def test_random_erase_matches(ref_aug, seed):
+    from metrabs_tpu.data.augment import occlusion as our_occ
+
+    side = 48
+    ref_aug.flags.proc_side = side  # the reference erases on a proc_side
+    ref_aug.flags.occlude_aug_scale = 1.0  # canvas (`appearance.py:62-66`)
+    base = np.random.default_rng(5)
+    im = base.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+    want = ref_aug.appearance.random_erase(
+        im.copy(), 0, 1 / 3, 0.3, 1.0 / 0.3, np.random.default_rng(seed))
+    got = our_occ.random_erase(im.copy(), np.random.default_rng(seed))
+    np.testing.assert_array_equal(got, want)
