@@ -244,6 +244,24 @@ def load_reference_improc():
     return _cached_improc
 
 
+_cached_util3d = None
+
+
+def load_reference_util3d():
+    """Imports `metrabs_tf/util3d.py` (adaptive pose samplers, numpy rigid
+    align) as an executable oracle — TF-free (numpy/matplotlib/procrustes)."""
+    global _cached_util3d
+    if _cached_util3d is not None:
+        return _cached_util3d
+    _install_stubs()
+    for p in (REF_ROOT, REF_ROOT + '/metrabs_tf'):
+        if p not in sys.path:
+            sys.path.append(p)
+    from metrabs_tf import util3d
+    _cached_util3d = util3d
+    return _cached_util3d
+
+
 _cached_aug = None
 
 

@@ -85,3 +85,49 @@ def test_ring_buffer_copy_last_if_nan():
     rb.add(np.array([1.0, 2.0], np.float32))
     rb.add(np.array([np.nan, 5.0], np.float32))
     np.testing.assert_array_equal(rb.last_item(), [1.0, 5.0])
+
+
+# ---------------------------------------------------------------------------
+# Executed-reference oracle: identical skip-decision SEQUENCES on randomized
+# pose streams (`util3d.py:46-155` run directly; TF-free import).
+
+
+@pytest.mark.parametrize('check_validity', [False, True])
+@pytest.mark.parametrize('assume_nan', [False, True])
+def test_adaptive_sampler_matches_reference(check_validity, assume_nan):
+    from tests import _reference_oracle
+    ref = _reference_oracle.load_reference_util3d()
+
+    rng = np.random.default_rng(3)
+    ours = AdaptivePoseSampler(100.0, check_validity, assume_nan)
+    theirs = ref.AdaptivePoseSampler(100.0, check_validity, assume_nan)
+    pose = rng.normal(size=(17, 3)) * 1000
+    for t in range(60):
+        pose = pose + rng.normal(size=(17, 3)) * rng.choice([5.0, 80.0])
+        shown = pose.copy()
+        if rng.uniform() < 0.3:  # sprinkle NaN invalidity patterns
+            shown[rng.integers(0, 17, size=4)] = np.nan
+        assert (ours.should_skip(shown.copy())
+                == theirs.should_skip(shown.copy())), f'step {t}'
+
+
+@pytest.mark.parametrize('buffer_size', [1, 4])
+def test_adaptive_sampler2_matches_reference(buffer_size):
+    from tests import _reference_oracle
+    ref = _reference_oracle.load_reference_util3d()
+
+    rng = np.random.default_rng(9)
+    ours = AdaptivePoseSampler2(
+        100.0, check_validity=True, assume_nan_unchanged=True,
+        buffer_size=buffer_size)
+    theirs = ref.AdaptivePoseSampler2(
+        100.0, check_validity=True, assume_nan_unchanged=True,
+        buffer_size=buffer_size)
+    pose = rng.normal(size=(17, 3)) * 1000
+    for t in range(80):
+        pose = pose + rng.normal(size=(17, 3)) * rng.choice([5.0, 60.0])
+        shown = pose.copy()
+        if rng.uniform() < 0.3:
+            shown[rng.integers(0, 17, size=4)] = np.nan
+        assert (ours.should_skip(shown.copy())
+                == theirs.should_skip(shown.copy())), f'step {t}'
