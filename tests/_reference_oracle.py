@@ -55,7 +55,11 @@ def _install_stubs():
             weak_perspective=False, mean_relative=True,
             bone_length_dataset='', bone_length_file='<injected>',
             dataset3d='', loss2d_factor=0.2, absloss_factor=0.1,
-            absloss_start_step=5000)
+            absloss_start_step=5000,
+            # multiperson packaging-time TTA flags (`save_model.py:21-24`
+            # defaults; SURVEY §8.1)
+            rot_aug=25.0, rot_aug_360=False, rot_aug_360_half=False,
+            detector_flip_vertical_too=False)
         spu.load_pickle = lambda path: BONE_MEANS[0]
         spu.logger = logging.getLogger('reference_oracle')
         # voc_loader.py:16 decorates its asset loader with @spu.picklecache;
@@ -72,12 +76,46 @@ def _install_stubs():
         fl.ModelTrainer = ModelTrainer
 
     if 'posepile' not in sys.modules:
+        import numpy as _np
+
         pp = _module('posepile')
         ds3d = _module('posepile.datasets3d')
         paths = _module('posepile.paths')
+        ji_mod = _module('posepile.joint_info')
         paths.DATA_ROOT = '/nonexistent-posepile-data-root'
         pp.datasets3d = ds3d
         pp.paths = paths
+        pp.joint_info = ji_mod
+
+        class JointInfo:
+            """Just enough of posepile.joint_info.JointInfo for the
+            multiperson model: names, edges, ids, n_joints and the l/r
+            prefix-swap mirror mapping (the posepile convention the
+            reference's joint names follow, e.g. lwri/rwri)."""
+
+            def __init__(self, joints, edges=()):
+                if isinstance(joints, str):
+                    joints = joints.split(',')
+                self.names = [n.decode('utf8') if isinstance(n, bytes)
+                              else str(n) for n in joints]
+                self.n_joints = len(self.names)
+                self.ids = {n: i for i, n in enumerate(self.names)}
+                self.stick_figure_edges = [
+                    tuple(int(x) for x in e) for e in _np.asarray(
+                        edges, _np.int32).reshape(-1, 2)]
+
+            @property
+            def mirror_mapping(self):
+                def flip(name):
+                    if name.startswith('l'):
+                        return 'r' + name[1:]
+                    if name.startswith('r'):
+                        return 'l' + name[1:]
+                    return name
+                return [self.ids.get(flip(n), i)
+                        for i, n in enumerate(self.names)]
+
+        ji_mod.JointInfo = JointInfo
 
         def _unavailable(*a, **k):
             raise NotImplementedError(
@@ -110,9 +148,74 @@ def _install_stubs():
         lm_mod.minimize = minimize
 
     if 'tensorflow_addons' not in sys.modules:
+        # FUNCTIONAL stand-ins, not inert stubs: the multiperson warp
+        # (`multiperson/warping.py:68-93`) needs the two tfa resample
+        # primitives. `transform` delegates to TF core's
+        # ImageProjectiveTransformV3 — the exact raw op tfa.image.transform
+        # wraps — so the oracle path still executes no re-implemented
+        # resample math; `interpolate_bilinear` follows tfa's documented
+        # clamp-floor-to-[0, size-2] + clipped-alpha lerp spec (the
+        # reference compensates its replicate-border behavior with a 1px
+        # zero pad, `warping.py:83-90`).
         tfa = _module('tensorflow_addons')
-        tfa.image = types.SimpleNamespace(
-            transform=None, interpolate_bilinear=None)
+        tfa_image = _module('tensorflow_addons.image')
+        tfa.image = tfa_image
+
+        def _tfa_transform(images, transforms, interpolation='bilinear',
+                           fill_mode='constant', output_shape=None,
+                           fill_value=0.0):
+            import tensorflow as tf
+            single = images.shape.rank == 3
+            imgs = images[tf.newaxis] if single else images
+            t = tf.cast(transforms, tf.float32)
+            if t.shape.rank == 1:
+                t = t[tf.newaxis]
+            if output_shape is None:
+                output_shape = tf.shape(imgs)[1:3]
+            out = tf.raw_ops.ImageProjectiveTransformV3(
+                images=imgs, transforms=t,
+                output_shape=tf.cast(output_shape, tf.int32),
+                fill_value=tf.constant(fill_value, tf.float32),
+                interpolation=interpolation.upper(),
+                fill_mode=fill_mode.upper())
+            return out[0] if single else out
+
+        def _tfa_interpolate_bilinear(grid, query_points, indexing='ij'):
+            import tensorflow as tf
+            if indexing not in ('ij', 'xy'):
+                raise ValueError(indexing)
+            q = tf.cast(query_points, grid.dtype)
+            if indexing == 'xy':
+                q = q[..., ::-1]
+            shape = tf.shape(grid)
+            outs = []
+            alphas = []
+            floors = []
+            for dim, size in ((0, shape[1]), (1, shape[2])):
+                coord = q[..., dim]
+                max_floor = tf.cast(size - 2, grid.dtype)
+                floor = tf.clip_by_value(
+                    tf.math.floor(coord), tf.cast(0, grid.dtype), max_floor)
+                alpha = tf.clip_by_value(coord - floor, 0.0, 1.0)
+                floors.append(tf.cast(floor, tf.int32))
+                alphas.append(alpha[..., tf.newaxis])
+            y0, x0 = floors
+            ay, ax = alphas
+
+            def gather(yy, xx):
+                idx = tf.stack([yy, xx], axis=-1)
+                return tf.gather_nd(grid, idx, batch_dims=1)
+
+            top_left = gather(y0, x0)
+            top_right = gather(y0, x0 + 1)
+            bottom_left = gather(y0 + 1, x0)
+            bottom_right = gather(y0 + 1, x0 + 1)
+            top = top_left + (top_right - top_left) * ax
+            bottom = bottom_left + (bottom_right - bottom_left) * ax
+            return top + (bottom - top) * ay
+
+        tfa_image.transform = _tfa_transform
+        tfa_image.interpolate_bilinear = _tfa_interpolate_bilinear
 
     if 'numba' not in sys.modules:
         # Identity-decorator stub: numba only JIT-compiles the reference's
@@ -242,6 +345,25 @@ def load_reference_improc():
     from metrabs_tf import improc as ref_improc
     _cached_improc = ref_improc
     return _cached_improc
+
+
+_cached_multiperson = None
+
+
+def load_reference_multiperson():
+    """Imports the reference's FULL multiperson pipeline module
+    (`multiperson/multiperson_model.py`) for end-to-end estimate_poses
+    oracles. The tfa resample primitives are functional stand-ins (see
+    _install_stubs: TF core's ImageProjectiveTransformV3 + the documented
+    interpolate_bilinear spec)."""
+    global _cached_multiperson
+    if _cached_multiperson is not None:
+        return _cached_multiperson
+    base = load_reference()
+    from metrabs_tf.multiperson import multiperson_model
+    _cached_multiperson = types.SimpleNamespace(
+        multiperson_model=multiperson_model, **vars(base))
+    return _cached_multiperson
 
 
 _cached_util3d = None

@@ -1,0 +1,277 @@
+"""END-TO-END multi-person pipeline parity against the executed reference.
+
+The deepest oracle in the suite: the reference's ACTUAL
+`multiperson/multiperson_model.py:Pose3dEstimator.estimate_poses_batched`
+graph runs (crop geometry + look-at homography + pyramid warp + gamma TTA +
+rot/flip TTA + crop model + mirror unswap + camera-back-rotation + absolute
+reconstruction + 2D projection + skeleton gather + aug averaging) with the
+executed EffNetV2-S fork as the backbone, and the result is compared against
+our `PoseEstimator.estimate_poses_batched` with the same weights, boxes and
+camera parameters.
+
+The tfa resample primitives inside the reference warp are functional
+stand-ins that delegate to TF core's ImageProjectiveTransformV3 raw op —
+the exact op tfa.image.transform wraps (see tests/_reference_oracle.py) —
+so no re-implemented resample math sits on the oracle side of the
+comparison for the zero-distortion path.
+
+Reference cites: `multiperson/multiperson_model.py:16-360`,
+`multiperson/warping.py:8-93`, `multiperson/save_model.py:21-24` (the
+packaging-time TTA defaults).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip('tensorflow')
+
+import jax
+import jax.numpy as jnp
+
+from tests import _reference_oracle
+from tests import test_full_model_oracle as tfmo
+from tests import test_tf_oracle_backbone as tob
+
+pytestmark = pytest.mark.skipif(
+    not tf.keras.__name__.startswith('tf_keras'),
+    reason='reference EffNetV2 fork requires legacy Keras 2')
+
+PROC_SIDE = tfmo.PROC_SIDE
+
+
+@pytest.fixture(scope='module')
+def ref():
+    return _reference_oracle.load_reference_multiperson()
+
+
+@pytest.fixture(scope='module')
+def ref_models():
+    return _reference_oracle.load_reference_models()
+
+
+@pytest.fixture(scope='module')
+def fork_modules():
+    return tob.get_fork_modules()
+
+
+@pytest.fixture
+def ref_flags(ref):
+    f = ref.flags
+    saved = dict(vars(f))
+    f.proc_side = PROC_SIDE
+    f.stride_train = 32
+    f.stride_test = 32
+    f.centered_stride = True
+    f.box_size_mm = 2200.0
+    f.weak_perspective = False
+    f.depth = 8
+    f.mix_3d_inside_fov = 0.5
+    f.affine_weights = ''
+    f.transform_coords = False
+    f.predict_all_and_latents = False
+    f.regularize_to_manifold = False
+    f.rot_aug = 25.0
+    f.rot_aug_360 = False
+    f.rot_aug_360_half = False
+    yield f
+    f.__dict__.clear()
+    f.__dict__.update(saved)
+
+
+def _h36m_joint_info():
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+    return H36M_17
+
+
+def _build_pair(ref, ref_models, fork_modules, rng):
+    """(reference Pose3dEstimator, our PoseEstimator) sharing all weights."""
+    from metrabs_tpu.models.metrabs import Metrabs
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+
+    ji = _h36m_joint_info()
+    import posepile.joint_info as ref_ji_mod
+    ref_ji = ref_ji_mod.JointInfo(list(ji.names), np.asarray(ji.edges))
+    # The stub's l/r prefix-swap mirror mapping must agree with ours, or the
+    # flip-TTA comparison is meaningless.
+    np.testing.assert_array_equal(ref_ji.mirror_mapping, ji.mirror_mapping)
+
+    backbone, fork = tfmo._ref_backbone(fork_modules, rng)
+    ji_ns = type('JI', (), dict(
+        names=list(ji.names), stick_figure_edges=list(ji.edges),
+        n_joints=len(ji.names)))()
+    crop_model = ref_models.models_metrabs.Metrabs(backbone, ji_ns)
+    img_example = tfmo._images(rng)
+    intr_example = tfmo._intrinsics(img_example.shape[0])
+    crop_model.call((tf.constant(img_example), tf.constant(intr_example)),
+                    training=False)  # build the head
+    feats = backbone(tf.constant(img_example), training=False).numpy()
+    tfmo._randomize_head(crop_model.heatmap_heads.conv_final, feats, rng)
+
+    skeleton_infos = {'': dict(indices=list(range(ji_ns.n_joints)),
+                               names=list(ji.names),
+                               edges=np.asarray(ji.edges, np.int32))}
+    ref_est = ref.multiperson_model.Pose3dEstimator(
+        crop_model, detector=None, skeleton_infos=skeleton_infos,
+        joint_transform_matrix=None)
+
+    cfg = tfmo._our_cfg(n_joints=ji_ns.n_joints)
+    our_model = Metrabs(cfg=cfg, backbone=tfmo._build_our_backbone())
+    variables = tfmo._our_variables_from_ref(
+        our_model, fork, crop_model.heatmap_heads.conv_final,
+        example=(img_example, intr_example))
+    our_est = PoseEstimator(
+        lambda state, c, k, v: our_model.apply(
+            state, c, k, train=False, sample_valid=v),
+        ji, cfg, crop_model_state=variables)
+    return ref_est, our_est
+
+
+def _scene(rng):
+    images = rng.integers(0, 256, size=(2, 240, 320, 3), dtype=np.uint8)
+    K = np.array([[300.0, 0, 160], [0, 310.0, 118], [0, 0, 1]], np.float32)
+    # Boxes comfortably inside the frame (border-fill conventions at the
+    # image edge are the one place the zero-distortion reference path —
+    # raw-op transform with constant fill — and our padded-gather warp could
+    # legitimately differ by a border pixel).
+    boxes_list = [
+        [[60.0, 40.0, 90.0, 170.0], [170.0, 60.0, 80.0, 150.0]],
+        [[110.0, 30.0, 100.0, 180.0]],
+    ]
+    return images, K, boxes_list
+
+
+def _run_ours(our_est, images, K, boxes_list, **kw):
+    max_b = max(len(b) for b in boxes_list)
+    boxes = np.zeros((len(boxes_list), max_b, 4), np.float32)
+    valid = np.zeros((len(boxes_list), max_b), bool)
+    for i, bs in enumerate(boxes_list):
+        boxes[i, :len(bs)] = bs
+        valid[i, :len(bs)] = True
+    out = our_est.estimate_poses_batched(
+        jnp.asarray(images), jnp.asarray(boxes),
+        box_valid=jnp.asarray(valid),
+        intrinsic_matrix=jnp.asarray(np.tile(K[None], (len(boxes_list), 1, 1))),
+        **kw)
+    return out, valid
+
+
+@pytest.mark.parametrize('average_aug', [True, False])
+def test_estimate_poses_batched_matches_reference(
+        ref, ref_models, ref_flags, fork_modules, rng, average_aug):
+    ref_est, our_est = _build_pair(ref, ref_models, fork_modules, rng)
+    images, K, boxes_list = _scene(rng)
+
+    want = ref_est.estimate_poses_batched(
+        images=tf.constant(images),
+        boxes=tf.ragged.constant(boxes_list, dtype=tf.float32, ragged_rank=1),
+        intrinsic_matrix=tf.constant(K[None]),
+        distortion_coeffs=tf.zeros((1, 5), tf.float32),
+        extrinsic_matrix=tf.constant(np.eye(4, dtype=np.float32)[None]),
+        world_up_vector=tf.constant((0.0, -1.0, 0.0)),
+        default_fov_degrees=tf.constant(55.0),
+        internal_batch_size=tf.constant(64),
+        antialias_factor=tf.constant(1),
+        num_aug=tf.constant(2),
+        average_aug=tf.constant(average_aug),
+        skeleton=tf.constant(''))
+
+    got, valid = _run_ours(our_est, images, K, boxes_list,
+                           num_aug=2, average_aug=average_aug)
+
+    for i, bs in enumerate(boxes_list):
+        want3d = want['poses3d'][i].numpy()
+        want2d = want['poses2d'][i].numpy()
+        got3d = np.asarray(got['poses3d'])[i][valid[i]]
+        got2d = np.asarray(got['poses2d'])[i][valid[i]]
+        assert want3d.shape == got3d.shape, (want3d.shape, got3d.shape)
+        # Millimeter scale; the remaining gap is the reference's f16 cast at
+        # the crop-model call boundary (`multiperson_model.py:305-307`,
+        # ours stays f32) plus resample-edge fp differences.
+        np.testing.assert_allclose(got3d, want3d, atol=5.0,
+                                   err_msg=f'poses3d image {i}')
+        # Per-aug (unaveraged) 2D can wiggle ~1px through the f16 crop
+        # quantization; the averaged case sits well under 0.5px.
+        np.testing.assert_allclose(got2d, want2d,
+                                   atol=0.5 if average_aug else 2.0,
+                                   err_msg=f'poses2d image {i}')
+
+
+def test_estimate_poses_with_distortion_matches_reference(
+        ref, ref_models, ref_flags, fork_modules, rng):
+    """Nonzero lens distortion: the reference warp takes the per-pixel
+    distortion-field + interpolate_bilinear path (`warping.py:73-93`) and
+    the 2D projection distorts points; ours is the always-distort
+    branch-free formulation."""
+    ref_est, our_est = _build_pair(ref, ref_models, fork_modules, rng)
+    images, K, boxes_list = _scene(rng)
+    dist = np.array([[-0.2, 0.05, 0.001, -0.001, 0.01]], np.float32)
+
+    want = ref_est.estimate_poses_batched(
+        images=tf.constant(images),
+        boxes=tf.ragged.constant(boxes_list, dtype=tf.float32, ragged_rank=1),
+        intrinsic_matrix=tf.constant(K[None]),
+        distortion_coeffs=tf.constant(dist),
+        extrinsic_matrix=tf.constant(np.eye(4, dtype=np.float32)[None]),
+        world_up_vector=tf.constant((0.0, -1.0, 0.0)),
+        default_fov_degrees=tf.constant(55.0),
+        internal_batch_size=tf.constant(64),
+        antialias_factor=tf.constant(1),
+        num_aug=tf.constant(2),
+        average_aug=tf.constant(True),
+        skeleton=tf.constant(''))
+
+    got, valid = _run_ours(our_est, images, K, boxes_list,
+                           num_aug=2, average_aug=True,
+                           distortion_coeffs=jnp.asarray(
+                               np.tile(dist, (len(boxes_list), 1))))
+
+    for i in range(len(boxes_list)):
+        want3d = want['poses3d'][i].numpy()
+        got3d = np.asarray(got['poses3d'])[i][valid[i]]
+        np.testing.assert_allclose(got3d, want3d, atol=5.0,
+                                   err_msg=f'poses3d image {i}')
+
+
+def test_estimate_poses_world_space_matches_reference(
+        ref, ref_models, ref_flags, fork_modules, rng):
+    """Non-identity extrinsics + tilted world-up: the world-space transform
+    and the camspace-up TTA rotation axis both come from the extrinsic
+    matrix (`multiperson_model.py:135-137,216-221`)."""
+    ref_est, our_est = _build_pair(ref, ref_models, fork_modules, rng)
+    images, K, boxes_list = _scene(rng)
+    angle = np.deg2rad(12.0)
+    R = np.array([[1, 0, 0],
+                  [0, np.cos(angle), -np.sin(angle)],
+                  [0, np.sin(angle), np.cos(angle)]], np.float32)
+    extr = np.eye(4, dtype=np.float32)
+    extr[:3, :3] = R
+    extr[:3, 3] = [100.0, -50.0, 30.0]
+    up = np.array([0.05, -0.99, 0.1], np.float32)
+
+    want = ref_est.estimate_poses_batched(
+        images=tf.constant(images),
+        boxes=tf.ragged.constant(boxes_list, dtype=tf.float32, ragged_rank=1),
+        intrinsic_matrix=tf.constant(K[None]),
+        distortion_coeffs=tf.zeros((1, 5), tf.float32),
+        extrinsic_matrix=tf.constant(extr[None]),
+        world_up_vector=tf.constant(up),
+        default_fov_degrees=tf.constant(55.0),
+        internal_batch_size=tf.constant(64),
+        antialias_factor=tf.constant(1),
+        num_aug=tf.constant(2),
+        average_aug=tf.constant(True),
+        skeleton=tf.constant(''))
+
+    got, valid = _run_ours(our_est, images, K, boxes_list,
+                           num_aug=2, average_aug=True,
+                           extrinsic_matrix=jnp.asarray(
+                               np.tile(extr[None], (len(boxes_list), 1, 1))),
+                           world_up_vector=tuple(up.tolist()))
+
+    for i in range(len(boxes_list)):
+        want3d = want['poses3d'][i].numpy()
+        got3d = np.asarray(got['poses3d'])[i][valid[i]]
+        np.testing.assert_allclose(got3d, want3d, atol=5.0,
+                                   err_msg=f'poses3d image {i}')
