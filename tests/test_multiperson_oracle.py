@@ -275,3 +275,105 @@ def test_estimate_poses_world_space_matches_reference(
         got3d = np.asarray(got['poses3d'])[i][valid[i]]
         np.testing.assert_allclose(got3d, want3d, atol=5.0,
                                    err_msg=f'poses3d image {i}')
+
+
+def test_detect_filter_composition_matches_reference(
+        ref, ref_models, ref_flags, fork_modules, rng):
+    """The suppress_implausible_poses COMPOSITION (per-pose plausibility
+    checks -> combined mask -> score-ordered pose NMS -> gather of
+    boxes/poses, `multiperson_model.py:198-205,322-360`) end to end, driven
+    with confidence-carrying boxes through both sides' internal paths — no
+    detector needed (the reference's detect_poses_batched is exactly
+    _get_boxes + this path). Individual checks are oracled in
+    test_reference_parity; this pins their wiring.
+
+    Overlapping duplicate boxes exercise the pose-NMS suppression; the
+    injected mean-bone table is derived from the model's own output so the
+    duplicates are PLAUSIBLE and only NMS separates them."""
+    from metrabs_tpu.ops import procrustes as _  # noqa: F401 (jax warm)
+
+    ref_est, our_est = None, None  # built after bone means are known
+
+    # First pass without filtering to harvest poses for a bone table.
+    ref_est, our_est0 = _build_pair(ref, ref_models, fork_modules, rng)
+    images, K, _boxes = _scene(rng)
+    boxes_list = [
+        [[60.0, 40.0, 90.0, 170.0],
+         [63.0, 42.0, 92.0, 168.0],      # near-duplicate -> NMS suppressed
+         [170.0, 60.0, 80.0, 150.0]],
+        [[110.0, 30.0, 100.0, 180.0]],
+    ]
+    conf_list = [[0.9, 0.8, 0.7], [0.95]]
+
+    pre = ref_est.estimate_poses_batched(
+        images=tf.constant(images),
+        boxes=tf.ragged.constant(boxes_list, dtype=tf.float32, ragged_rank=1),
+        intrinsic_matrix=tf.constant(K[None]),
+        distortion_coeffs=tf.zeros((1, 5), tf.float32),
+        extrinsic_matrix=tf.constant(np.eye(4, dtype=np.float32)[None]),
+        world_up_vector=tf.constant((0.0, -1.0, 0.0)),
+        default_fov_degrees=tf.constant(55.0),
+        internal_batch_size=tf.constant(64),
+        antialias_factor=tf.constant(1),
+        num_aug=tf.constant(2),
+        average_aug=tf.constant(True),
+        skeleton=tf.constant(''))
+    sample_pose = pre['poses3d'][0][0].numpy()
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+    edges = np.asarray(H36M_17.edges)
+    mean_bones = np.linalg.norm(
+        sample_pose[edges[:, 0]] - sample_pose[edges[:, 1]], axis=-1
+    ).astype(np.float32)
+    _reference_oracle.BONE_MEANS[0] = mean_bones
+
+    from metrabs_tpu.pipeline.estimator import PoseEstimator
+    our_est = PoseEstimator(
+        our_est0.crop_model_fn_with_state, H36M_17, our_est0.cfg,
+        crop_model_state=our_est0.crop_model_state,
+        bone_mean_lengths=mean_bones)
+
+    ref_flags.bone_length_dataset = ''
+    boxes5 = tf.ragged.constant(
+        [[b + [c] for b, c in zip(bs, cs)]
+         for bs, cs in zip(boxes_list, conf_list)],
+        dtype=tf.float32, ragged_rank=1)
+    want = ref_est._estimate_poses_batched(
+        tf.constant(images), boxes5,
+        tf.constant(K[None]), tf.zeros((1, 5), tf.float32),
+        tf.constant(np.eye(4, dtype=np.float32)[None]),
+        tf.constant((0.0, -1.0, 0.0)), tf.constant(55.0),
+        tf.constant(64), tf.constant(1), tf.constant(2),
+        tf.constant(True), tf.constant(''),
+        suppress_implausible_poses=tf.constant(True))
+
+    max_b = max(len(b) for b in boxes_list)
+    b5 = np.zeros((2, max_b, 5), np.float32)
+    valid = np.zeros((2, max_b), bool)
+    for i, (bs, cs) in enumerate(zip(boxes_list, conf_list)):
+        for j, (b, c) in enumerate(zip(bs, cs)):
+            b5[i, j] = b + [c]
+            valid[i, j] = True
+    got = our_est._run(
+        jnp.asarray(images), jnp.asarray(b5), jnp.asarray(valid),
+        jnp.asarray(np.tile(K[None], (2, 1, 1))), None, None,
+        (0, -1, 0), 55.0, 64, 1, 2, True, '', suppress=True)
+    got_valid = np.asarray(got['valid']).astype(bool)
+
+    for i in range(2):
+        want_boxes = want['boxes'][i].numpy()
+        got_boxes = np.asarray(got['boxes'])[i][got_valid[i]]
+        # The duplicate must actually have been suppressed for the test to
+        # have teeth.
+        if i == 0:
+            assert len(want_boxes) < len(boxes_list[0])
+        assert want_boxes.shape == got_boxes.shape, (
+            want_boxes.shape, got_boxes.shape)
+        order_w = np.argsort(-want_boxes[:, 4])
+        order_g = np.argsort(-got_boxes[:, 4])
+        np.testing.assert_allclose(
+            got_boxes[order_g], want_boxes[order_w], atol=1e-3,
+            err_msg=f'boxes image {i}')
+        want3d = want['poses3d'][i].numpy()[order_w]
+        got3d = np.asarray(got['poses3d'])[i][got_valid[i]][order_g]
+        np.testing.assert_allclose(got3d, want3d, atol=5.0,
+                                   err_msg=f'poses3d image {i}')
