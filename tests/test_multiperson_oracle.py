@@ -290,13 +290,9 @@ def test_detect_filter_composition_matches_reference(
     Overlapping duplicate boxes exercise the pose-NMS suppression; the
     injected mean-bone table is derived from the model's own output so the
     duplicates are PLAUSIBLE and only NMS separates them."""
-    from metrabs_tpu.ops import procrustes as _  # noqa: F401 (jax warm)
-
-    ref_est, our_est = None, None  # built after bone means are known
-
     # First pass without filtering to harvest poses for a bone table.
     ref_est, our_est0 = _build_pair(ref, ref_models, fork_modules, rng)
-    images, K, _boxes = _scene(rng)
+    images, K, _ = _scene(rng)
     boxes_list = [
         [[60.0, 40.0, 90.0, 170.0],
          [63.0, 42.0, 92.0, 168.0],      # near-duplicate -> NMS suppressed
