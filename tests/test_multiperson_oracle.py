@@ -374,3 +374,39 @@ def test_detect_filter_composition_matches_reference(
         got3d = np.asarray(got['poses3d'])[i][got_valid[i]][order_g]
         np.testing.assert_allclose(got3d, want3d, atol=5.0,
                                    err_msg=f'poses3d image {i}')
+
+
+def test_estimate_poses_antialias_and_single_aug_matches_reference(
+        ref, ref_models, ref_flags, fork_modules, rng):
+    """Two SURVEY §8 landmines through the full pipeline: (a)
+    antialias_factor=2 — supersampled warp + box-downsample, with the
+    antialias factor folded into the pyramid-level crop_scales
+    (`multiperson_model.py:367`, `warping.py:8-30`); (b) num_aug=1 is NOT
+    augmentation-free — tfu.linspace midpoints give gamma 0.8, scale 1.05,
+    angle 0, no flip (`tfu.py:246-254`, SURVEY §8.2)."""
+    ref_est, our_est = _build_pair(ref, ref_models, fork_modules, rng)
+    images, K, boxes_list = _scene(rng)
+
+    want = ref_est.estimate_poses_batched(
+        images=tf.constant(images),
+        boxes=tf.ragged.constant(boxes_list, dtype=tf.float32, ragged_rank=1),
+        intrinsic_matrix=tf.constant(K[None]),
+        distortion_coeffs=tf.zeros((1, 5), tf.float32),
+        extrinsic_matrix=tf.constant(np.eye(4, dtype=np.float32)[None]),
+        world_up_vector=tf.constant((0.0, -1.0, 0.0)),
+        default_fov_degrees=tf.constant(55.0),
+        internal_batch_size=tf.constant(64),
+        antialias_factor=tf.constant(2),
+        num_aug=tf.constant(1),
+        average_aug=tf.constant(True),
+        skeleton=tf.constant(''))
+
+    got, valid = _run_ours(our_est, images, K, boxes_list,
+                           num_aug=1, average_aug=True, antialias_factor=2)
+
+    for i in range(len(boxes_list)):
+        want3d = want['poses3d'][i].numpy()
+        got3d = np.asarray(got['poses3d'])[i][valid[i]]
+        assert want3d.shape == got3d.shape
+        np.testing.assert_allclose(got3d, want3d, atol=5.0,
+                                   err_msg=f'poses3d image {i}')
