@@ -82,10 +82,18 @@ def fork_modules():
 #   gain 0.8: input sensitivity 6.3e-2, fp-noise amplification 6.4e-7,
 #             flax-vs-fork rel err 1.2e-6 — signal propagates, noise doesn't;
 #   gain 0.5: input sensitivity collapses to 7e-6 (vacuous-test regime).
+# The window is DEPTH-dependent: at efficientnetv2-l's 79 blocks gain 0.8
+# is already chaotic (noise amplification 2.1e-2, so a correct
+# implementation "fails" at ~2% — measured), while 0.7 gives noise 4.2e-7
+# with input sensitivity 1.8e-3. _gain_for() picks per family.
 _KERNEL_GAIN = 0.8
 
 
-def _randomize_variables(model, rng):
+def _gain_for(name):
+    return 0.7 if name.startswith('efficientnetv2-l') else _KERNEL_GAIN
+
+
+def _randomize_variables(model, rng, gain=None):
     """No special values anywhere: randomizes every variable (incl. BN
     moving stats and betas) so swapped gamma/beta or mean/var mappings
     cannot hide behind the 0/1 initialization.
@@ -98,6 +106,8 @@ def _randomize_variables(model, rng):
     forward-parity tests into bias-propagation tests; full He init is
     chaotic (see _KERNEL_GAIN). Forward tests additionally assert input
     sensitivity via `_assert_input_sensitive`."""
+    if gain is None:
+        gain = _KERNEL_GAIN
     for v in model.variables:
         shape = tuple(v.shape)
         name = v.name
@@ -117,9 +127,9 @@ def _randomize_variables(model, rng):
         elif len(shape) == 4:
             fan_in = (shape[0] * shape[1] if 'depthwise' in name
                       else shape[0] * shape[1] * shape[2])
-            val = rng.normal(size=shape) * _KERNEL_GAIN * np.sqrt(2.0 / fan_in)
+            val = rng.normal(size=shape) * gain * np.sqrt(2.0 / fan_in)
         elif len(shape) == 2:
-            val = rng.normal(size=shape) * _KERNEL_GAIN * np.sqrt(2.0 / shape[0])
+            val = rng.normal(size=shape) * gain * np.sqrt(2.0 / shape[0])
         else:
             val = rng.normal(size=shape) * 0.05
         v.assign(val.astype(np.float32))
@@ -150,7 +160,7 @@ def _build_fork(fork_modules, name, rng):
     model = effnetv2_model.get_model(name, include_top=False, pretrained=False)
     assert any(v.name.startswith(f'{name.split("-stride")[0]}/stem/')
                for v in model.variables), 'keras name-scope counters dirty'
-    _randomize_variables(model, rng)
+    _randomize_variables(model, rng, gain=_gain_for(name))
     _FORK_CACHE[name] = model
     return model
 
@@ -381,7 +391,11 @@ def test_resnet_forward_parity_vs_keras_applications(rng, variant):
     assert not missing, missing[:8]
 
 
-@pytest.mark.parametrize('name', ['efficientnetv2-s', 'efficientnetv2-s-stride16'])
+@pytest.mark.parametrize('name', ['efficientnetv2-s', 'efficientnetv2-s-stride16',
+                                  'efficientnetv2-s-stride8',
+                                  'efficientnetv2-s-stride4',
+                                  'efficientnetv2-m', 'efficientnetv2-l',
+                                  'efficientnetv2-l-stride16'])
 def test_effnetv2_forward_parity_vs_executed_fork(fork_modules, rng, name):
     """Layer 3: feature-map parity with the executed reference fork on shared
     random weights. The -stride16 variant exercises the dilated blocks and
