@@ -214,11 +214,17 @@ def test_random_erase_matches(ref_aug, seed):
     from metrabs_tpu.data.augment import occlusion as our_occ
 
     side = 48
+    saved = {name: getattr(ref_aug.flags, name, None)
+             for name in ('proc_side', 'occlude_aug_scale')}
     ref_aug.flags.proc_side = side  # the reference erases on a proc_side
     ref_aug.flags.occlude_aug_scale = 1.0  # canvas (`appearance.py:62-66`)
-    base = np.random.default_rng(5)
-    im = base.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
-    want = ref_aug.appearance.random_erase(
-        im.copy(), 0, 1 / 3, 0.3, 1.0 / 0.3, np.random.default_rng(seed))
-    got = our_occ.random_erase(im.copy(), np.random.default_rng(seed))
+    try:
+        base = np.random.default_rng(5)
+        im = base.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+        want = ref_aug.appearance.random_erase(
+            im.copy(), 0, 1 / 3, 0.3, 1.0 / 0.3, np.random.default_rng(seed))
+        got = our_occ.random_erase(im.copy(), np.random.default_rng(seed))
+    finally:
+        for name, value in saved.items():
+            setattr(ref_aug.flags, name, value)
     np.testing.assert_array_equal(got, want)

@@ -80,6 +80,16 @@ def ref_flags(ref):
     f.__dict__.update(saved)
 
 
+@pytest.fixture
+def bone_means_slot():
+    """Restores the module-global oracle bone-prior slot after the test
+    (it is consumed by the reference's load_pickle stub,
+    `_reference_oracle.py:63`)."""
+    saved = _reference_oracle.BONE_MEANS[0]
+    yield _reference_oracle.BONE_MEANS
+    _reference_oracle.BONE_MEANS[0] = saved
+
+
 def _h36m_joint_info():
     from metrabs_tpu.pipeline.skeletons import H36M_17
     return H36M_17
@@ -279,7 +289,7 @@ def test_estimate_poses_world_space_matches_reference(
 
 
 def test_detect_filter_composition_matches_reference(
-        ref, ref_models, ref_flags, fork_modules, rng):
+        ref, ref_models, ref_flags, fork_modules, rng, bone_means_slot):
     """The suppress_implausible_poses COMPOSITION (per-pose plausibility
     checks -> combined mask -> score-ordered pose NMS -> gather of
     boxes/poses, `multiperson_model.py:198-205,322-360`) end to end, driven
