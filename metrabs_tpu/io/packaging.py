@@ -101,6 +101,31 @@ def save_pose_estimator_package(
         json.dump(manifest, f, indent=2)
 
 
+def add_detector_to_package(
+        directory: str, detector_variables: Any, *,
+        detector_type: str = 'yolov4', detector_dtype: str = 'bfloat16',
+        detector_input_size: Optional[int] = None,
+        detector_scan_repeats: bool = True) -> None:
+    """Adds (or replaces) the detector in an existing package.
+
+    The reference assembles crop model and detector at packaging time in one
+    go (`save_model.py:28-35`); here the two can also be minted separately
+    (e.g. `apps/train.py --export-dir` for the crop model, `detect/train.py`
+    for the detector) and joined afterwards."""
+    manifest_path = os.path.join(directory, 'manifest.json')
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    export_model_msgpack(
+        os.path.join(directory, 'detector.msgpack'), detector_variables)
+    manifest.update(
+        has_detector=True, detector_type=detector_type,
+        detector_dtype=detector_dtype,
+        detector_input_size=detector_input_size,
+        detector_scan_repeats=detector_scan_repeats)
+    with open(manifest_path, 'w') as f:
+        json.dump(manifest, f, indent=2)
+
+
 def load_crop_model(directory: str, backbone_builder=None):
     """Loads the bare crop model from a package directory.
 

@@ -1,0 +1,424 @@
+"""Closes the FULL train -> checkpoint -> export -> package -> serve -> eval
+loop on the attached TPU with a production backbone, minting real trained
+weights for both the crop model and the person detector.
+
+Mirrors the reference's lifecycle `metrabs_tf/main.py:34-157` (train) ->
+`main.py:411-436` (export) -> `multiperson/save_model.py:28-45` (package) ->
+`docs/EVALUATION.md:8-23` (predict+eval), on a synthetic multi-person
+stick-figure world (no real data exists in this environment):
+
+  stage 0  render multi-person scenes; per-person Example3D + LSP-like 2D
+           pickles; held-out val scenes
+  stage 1  `apps/train.py` production config (EffNetV2-S 256px bf16, remat,
+           adamw+EMA, dual 2D/3D streams, periodic validation) -> orbax
+           checkpoints -> packaged export WITH dataset-derived bone priors
+  stage 2  first-party YOLOv4-tiny detector training (detect/train.py) on
+           the same scenes; detector added to the package
+  stage 3  `load_pose_estimator` (asserting NO bone-prior warning) ->
+           `detect_poses_batched` on held-out scenes -> Hungarian-matched
+           multi-person metrics + GT-box `estimate_poses_batched` MPJPE
+
+Assertion-gated: prints TRAIN2SERVE OK only if every stage's checks pass.
+Writes TRAIN2SERVE_r04.json with the MPJPE curve and final metrics.
+
+  python scripts/train_to_serve_e2e.py                    # full TPU run
+  python scripts/train_to_serve_e2e.py --platform cpu --backbone tiny \
+      --steps 60 --det-steps 30 --scenes 12               # smoke test
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_t0 = time.time()
+
+
+def tick(msg):
+    print(f'[{time.time() - _t0:7.1f}s] {msg}', flush=True)
+
+
+# H36M-17 template skeleton (mm; x right, y down, z forward). Bone lengths
+# are anatomically consistent across renders so the accumulated bone priors
+# and the plausibility filter are meaningful.
+TEMPLATE = {
+    'pelv': (0, 0, 0), 'rhip': (-130, 0, 0), 'rkne': (-145, 450, 0),
+    'rank': (-155, 890, 0), 'lhip': (130, 0, 0), 'lkne': (145, 450, 0),
+    'lank': (155, 890, 0), 'spin': (0, -250, 0), 'neck': (0, -500, 0),
+    'head': (0, -600, 0), 'htop': (0, -720, 0), 'lsho': (185, -480, 0),
+    'lelb': (265, -210, 0), 'lwri': (305, 40, 0), 'rsho': (-185, -480, 0),
+    'relb': (-265, -210, 0), 'rwri': (-305, 40, 0)}
+
+# H36M joint index -> LSP-14 slot (overfit_sanity.py's weak-2D mapping).
+LSP_FROM_H36M = [3, 2, 1, 4, 5, 6, 16, 15, 14, 11, 12, 13, 8, 10]
+
+SCENE_SIDE = 416
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=1500)
+    p.add_argument('--det-steps', type=int, default=800)
+    p.add_argument('--scenes', type=int, default=96)
+    p.add_argument('--val-scenes', type=int, default=16)
+    p.add_argument('--platform', default='',
+                   help="'' keeps the default (TPU if attached)")
+    p.add_argument('--backbone', default='efficientnetv2-s',
+                   help="'tiny' for the CPU smoke config")
+    p.add_argument('--batch-size', type=int, default=16)
+    p.add_argument('--det-batch', type=int, default=8)
+    p.add_argument('--out', default='/root/repo/runs/train2serve')
+    p.add_argument('--record', default='/root/repo/TRAIN2SERVE_r04.json')
+    p.add_argument('--skip-train', action='store_true',
+                   help='reuse an existing package in --out (stage 3 only)')
+    p.add_argument('--smoke', action='store_true',
+                   help='mechanics-only run: relaxes all quality gates so a '
+                        'short CPU run validates the plumbing, not learning')
+    args = p.parse_args()
+
+    # Quality gates (the real, assertion-enforced bar; --smoke only checks
+    # that every stage runs end to end and outputs are finite/shaped).
+    gate = dict(curve_ratio=0.5, final_mpjpe=150.0, det_recall=0.85,
+                served_recall=0.8, served_pck=0.5, served_mpjpe=150.0)
+    if args.smoke:
+        gate = dict(curve_ratio=float('inf'), final_mpjpe=float('inf'),
+                    det_recall=-1.0, served_recall=-1.0, served_pck=-1.0,
+                    served_mpjpe=float('inf'))
+
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    jax.config.update('jax_compilation_cache_dir',
+                      '/root/.cache/jax_comp_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    # Backend-init watchdog (CLAUDE.md rule 13): with the tunnel down,
+    # jax.devices() blocks forever inside backend init.
+    import threading
+    _init_done = threading.Event()
+
+    def _watchdog():
+        timeout = int(os.environ.get('T2S_INIT_TIMEOUT', '300'))
+        if not _init_done.wait(timeout):
+            print(f'train2serve: backend init did not complete in {timeout}s '
+                  f'(tunnel down?); aborting', file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    tick(f'devices: {jax.devices()}')
+    _init_done.set()
+
+    import cv2
+    import numpy as np
+
+    from metrabs_tpu.data.camera import Camera
+    from metrabs_tpu.data.loading import Example2D, Example3D
+    from metrabs_tpu.pipeline.skeletons import H36M_17
+
+    names = list(H36M_17.names)
+    template = np.array([TEMPLATE[n] for n in names], np.float32)
+
+    def make_camera():
+        k = np.array([[420, 0, SCENE_SIDE / 2], [0, 420, SCENE_SIDE / 2],
+                      [0, 0, 1]], np.float32)
+        return Camera(optical_center=np.zeros(3, np.float32),
+                      intrinsic_matrix=k, world_up=(0, -1, 0))
+
+    def sample_pose(rng):
+        yaw = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        pose = template @ rot.T
+        pose = pose * rng.uniform(0.9, 1.1)
+        pose = pose + rng.normal(size=pose.shape).astype(np.float32) * 25
+        return pose
+
+    def render_scene(rng, cam):
+        """One multi-person scene: image u8 [S,S,3], list of world poses."""
+        img = rng.integers(0, 55, (SCENE_SIDE, SCENE_SIDE, 3),
+                           dtype=np.uint8).astype(np.uint8)
+        n_people = int(rng.integers(1, 4))
+        poses = []
+        slots = rng.permutation(3)[:n_people]
+        for slot in slots:
+            for _ in range(40):
+                z = rng.uniform(3200, 7000)
+                x = (slot - 1) * z * 0.28 + rng.uniform(-150, 150)
+                y = rng.uniform(-80, 220)
+                pose = sample_pose(rng) + np.array([x, y, z], np.float32)
+                pts = cam.world_to_image(pose)
+                if (pts.min() > 12 and pts.max() < SCENE_SIDE - 12):
+                    break
+            else:
+                continue
+            for a, b in H36M_17.edges:
+                cv2.line(img, tuple(np.round(pts[a]).astype(int)),
+                         tuple(np.round(pts[b]).astype(int)), (0, 230, 40), 2)
+            for j, pt in enumerate(pts):
+                color = (255, 25 + j * 13, 25 + j * 13)
+                cv2.circle(img, tuple(np.round(pt).astype(int)),
+                           4, color, -1)
+            poses.append(pose)
+        return img, poses
+
+    def person_bbox(cam, pose, margin):
+        pts = cam.world_to_image(pose)
+        x0, y0 = pts.min(0) - margin
+        x1, y1 = pts.max(0) + margin
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1 = min(x1, SCENE_SIDE - 1)
+        y1 = min(y1, SCENE_SIDE - 1)
+        return np.array([x0, y0, x1 - x0, y1 - y0], np.float32)
+
+    def build_split(seed, n_scenes):
+        rng = np.random.default_rng(seed)
+        cam = make_camera()
+        scenes, ex3d, ex2d = [], [], []
+        for i in range(n_scenes):
+            img, poses = render_scene(rng, cam)
+            scenes.append((img, poses))
+            for k, pose in enumerate(poses):
+                bbox = person_bbox(cam, pose, margin=18)
+                ex3d.append(Example3D(
+                    image_path=f'synth/scene{seed}_{i}_{k}.jpg', camera=cam,
+                    bbox=bbox, world_coords=pose, image=img))
+                pts2d = cam.world_to_image(pose)[LSP_FROM_H36M]
+                ex2d.append(Example2D(
+                    image_path=f'synth/scene{seed}_{i}_{k}.jpg', bbox=bbox,
+                    coords=pts2d.astype(np.float32), image=img, camera=cam))
+        return scenes, ex3d, ex2d, cam
+
+    tick('stage 0: rendering synthetic multi-person scenes')
+    os.makedirs(args.out, exist_ok=True)
+    train_scenes, train3d, train2d, cam = build_split(7, args.scenes)
+    val_scenes, val3d, _, _ = build_split(1007, args.val_scenes)
+    ds3d_path = os.path.join(args.out, 'ds3d.pkl')
+    ds2d_path = os.path.join(args.out, 'ds2d.pkl')
+    val_path = os.path.join(args.out, 'ds3d_val.pkl')
+    for path, data in ((ds3d_path, train3d), (ds2d_path, train2d),
+                       (val_path, val3d)):
+        with open(path, 'wb') as f:
+            pickle.dump(data, f)
+    tick(f'{len(train3d)} train people / {len(val3d)} val people rendered')
+
+    package_dir = os.path.join(args.out, 'package')
+    ckpt_dir = os.path.join(args.out, 'ckpt')
+    log_path = os.path.join(ckpt_dir, 'train_log.jsonl')
+
+    if not args.skip_train:
+        tick('stage 1: crop-model training (production config)')
+        from metrabs_tpu.apps import train as train_app
+        if os.path.exists(log_path):
+            os.remove(log_path)
+        crop_args = [
+            '--ds3d', ds3d_path, '--ds2d', ds2d_path,
+            '--checkpoint-dir', ckpt_dir, '--export-dir', package_dir,
+            '--backbone', args.backbone,
+            '--batch-size', str(args.batch_size),
+            '--batch-size-2d', str(args.batch_size),
+            '--training-steps', str(args.steps),
+            '--base-learning-rate', '1e-3',
+            '--ema-momentum', '0.995',
+            '--workers', '3', '--seed', '3',
+            '--checkpoint-period', str(max(args.steps // 3, 1)),
+            '--log-period', '50',
+            '--ds3d-val', val_path,
+            '--validate-period', str(max(args.steps // 5, 1)),
+            '--batch-size-test', '32',
+        ]
+        if args.backbone == 'tiny':
+            # CPU smoke config: the tiny backbone is not in the builder
+            # registry; substitute the smallest real one at low res.
+            crop_args[crop_args.index('tiny')] = 'mobilenetv3-small'
+            crop_args += ['--proc-side', '128', '--dtype', 'float32']
+        train_app.main(crop_args)
+        tick('stage 1 done: package exported')
+
+    with open(os.path.join(package_dir, 'manifest.json')) as f:
+        manifest = json.load(f)
+    assert manifest.get('bone_mean_lengths'), \
+        'export did not ship dataset-derived bone priors'
+    tick('bone priors present in manifest: ok')
+
+    # MPJPE curve from the training log.
+    curve = []
+    with open(log_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if 'val_mean_error' in rec:
+                curve.append((rec['step'], rec['val_mean_error']))
+    assert curve, 'no validation records in the training log'
+    tick('val MPJPE curve: ' + ', '.join(
+        f'{s}:{v:.0f}mm' for s, v in curve))
+    assert curve[-1][1] < curve[0][1] * gate['curve_ratio'], (
+        f'training did not reduce val MPJPE 2x: {curve[0]} -> {curve[-1]}')
+    assert curve[-1][1] < gate['final_mpjpe'], (
+        f'final val MPJPE {curve[-1][1]:.1f}mm too high for the synthetic set')
+
+    # ---- stage 2: detector training -------------------------------------
+    import jax.numpy as jnp
+    import optax
+
+    from metrabs_tpu.detect.train import (
+        build_targets, create_detector_train_state, make_detector_train_step)
+    from metrabs_tpu.detect.yolov4 import PersonDetector, YOLOv4Tiny
+
+    det_path = os.path.join(package_dir, 'detector.msgpack')
+    if not args.skip_train or not os.path.exists(det_path):
+        tick('stage 2: detector training (YOLOv4-tiny)')
+        det_model = YOLOv4Tiny(dtype=jnp.float32)
+        det_tx = optax.adam(optax.cosine_decay_schedule(
+            1e-3, args.det_steps, alpha=0.05))
+        det_state = create_detector_train_state(
+            det_model, det_tx, jax.random.PRNGKey(11), SCENE_SIDE)
+        det_step = jax.jit(make_detector_train_step(
+            det_model, det_tx, input_size=SCENE_SIDE))
+
+        det_rng = np.random.default_rng(21)
+
+        def det_batch():
+            idx = det_rng.integers(0, len(train_scenes), args.det_batch)
+            imgs = np.stack([train_scenes[i][0] for i in idx])
+            boxes = [np.stack([person_bbox(cam, p, margin=12)
+                               for p in train_scenes[i][1]])
+                     for i in idx]
+            targets, masks, gtb, gtv = build_targets(boxes, SCENE_SIDE)
+            return (jnp.asarray(imgs, jnp.float32) / 255.0,
+                    [jnp.asarray(t) for t in targets],
+                    [jnp.asarray(m) for m in masks],
+                    jnp.asarray(gtb), jnp.asarray(gtv))
+
+        # Fixed GT padding across steps (static shapes, no recompiles).
+        for i in range(args.det_steps):
+            images_f, targets, masks, gtb, gtv = det_batch()
+            if gtb.shape[1] != 3:
+                pad = 3 - gtb.shape[1]
+                gtb = jnp.pad(gtb, ((0, 0), (0, pad), (0, 0)))
+                gtv = jnp.pad(gtv, ((0, 0), (0, pad)))
+            det_state, det_loss = det_step(
+                det_state, images_f, targets, masks, gtb, gtv)
+            if (i + 1) % 100 == 0 or i == 0:
+                tick(f'det step {i + 1}: loss={float(det_loss):.4f}')
+
+        # Detector eval on held-out scenes: recall + IoU.
+        det_vars = {'params': det_state.params}
+        if det_state.batch_stats:
+            det_vars['batch_stats'] = det_state.batch_stats
+        detector = PersonDetector(det_model, det_vars, input_size=SCENE_SIDE)
+        val_imgs = np.stack([s[0] for s in val_scenes])
+        boxes5, bvalid = detector.detect_batched(
+            val_imgs, threshold=0.3, max_detections=8)
+        boxes5, bvalid = np.asarray(boxes5), np.asarray(bvalid)
+        n_gt = n_hit = 0
+        ious = []
+        for i, (_, poses) in enumerate(val_scenes):
+            gt = np.stack([person_bbox(cam, p, margin=12) for p in poses])
+            pred = boxes5[i][bvalid[i]][:, :4]
+            n_gt += len(gt)
+            for g in gt:
+                if len(pred) == 0:
+                    continue
+                gx0, gy0, gx1, gy1 = g[0], g[1], g[0] + g[2], g[1] + g[3]
+                px0, py0 = pred[:, 0], pred[:, 1]
+                px1, py1 = pred[:, 0] + pred[:, 2], pred[:, 1] + pred[:, 3]
+                iw = np.clip(np.minimum(gx1, px1) - np.maximum(gx0, px0),
+                             0, None)
+                ih = np.clip(np.minimum(gy1, py1) - np.maximum(gy0, py0),
+                             0, None)
+                inter = iw * ih
+                union = g[2] * g[3] + pred[:, 2] * pred[:, 3] - inter
+                iou = (inter / np.maximum(union, 1e-9)).max()
+                if iou > 0.5:
+                    n_hit += 1
+                    ious.append(iou)
+        det_recall = n_hit / max(n_gt, 1)
+        det_iou = float(np.mean(ious)) if ious else 0.0
+        tick(f'detector val: recall@0.5={det_recall:.3f} '
+             f'mean-IoU={det_iou:.3f} over {n_gt} GT boxes')
+        assert det_recall >= gate['det_recall'], \
+            f'detector recall {det_recall:.3f} < {gate["det_recall"]}'
+
+        from metrabs_tpu.io.packaging import add_detector_to_package
+        add_detector_to_package(
+            package_dir, det_vars, detector_type='yolov4-tiny',
+            detector_dtype='float32', detector_input_size=SCENE_SIDE)
+        tick('detector added to package')
+    else:
+        det_recall, det_iou = float('nan'), float('nan')
+
+    # ---- stage 3: serve the package -------------------------------------
+    tick('stage 3: serving the trained package')
+    from metrabs_tpu.io.packaging import load_pose_estimator
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        est = load_pose_estimator(package_dir)
+    prior_warnings = [w for w in caught
+                      if 'bone_mean_lengths' in str(w.message)]
+    assert not prior_warnings, (
+        'the packaged estimator still warns about missing bone priors: '
+        f'{[str(w.message) for w in prior_warnings]}')
+    tick('load_pose_estimator: no bone-prior warning')
+
+    val_imgs = np.stack([s[0] for s in val_scenes])
+    out = est.detect_poses_batched(
+        val_imgs, intrinsic_matrix=np.tile(
+            cam.intrinsic_matrix[None], (len(val_scenes), 1, 1)),
+        num_aug=2, max_detections=8, detector_threshold=0.3)
+    poses3d = np.asarray(out['poses3d'])
+    valid = np.asarray(out['valid']).astype(bool)
+    assert np.all(np.isfinite(poses3d[valid])), \
+        'non-finite served poses at valid rows'
+
+    from metrabs_tpu.eval.harness import matched_pose_metrics
+    preds_per_frame = [poses3d[i][valid[i]] for i in range(len(val_scenes))]
+    gts_per_frame = [list(s[1]) for s in val_scenes]
+    matched = matched_pose_metrics(preds_per_frame, gts_per_frame,
+                                   threshold_mm=150.0, root_index=0)
+    tick(f'detect_poses served eval: {matched}')
+    assert matched['recall'] >= gate['served_recall'], matched
+    assert matched['matched_pck'] >= gate['served_pck'], matched
+
+    # GT-box crop-model eval through the SERVED estimator (the reference's
+    # estimate_poses_batched protocol: user boxes, confidence 1).
+    max_people = max(len(s[1]) for s in val_scenes)
+    gt_boxes = np.zeros((len(val_scenes), max_people, 4), np.float32)
+    for i, (_, poses) in enumerate(val_scenes):
+        for k, pose in enumerate(poses):
+            gt_boxes[i, k] = person_bbox(cam, pose, margin=18)
+    out_gt = est.estimate_poses_batched(
+        val_imgs, gt_boxes, intrinsic_matrix=np.tile(
+            cam.intrinsic_matrix[None], (len(val_scenes), 1, 1)), num_aug=2)
+    poses_gt = np.asarray(out_gt['poses3d'])
+    errs = []
+    for i, (_, poses) in enumerate(val_scenes):
+        for k, gt_pose in enumerate(poses):
+            pred = poses_gt[i, k]
+            rr = ((pred - pred[:1]) - (gt_pose - gt_pose[:1]))
+            errs.append(np.linalg.norm(rr, axis=-1).mean())
+    mpjpe_served = float(np.mean(errs))
+    tick(f'estimate_poses (GT boxes) served root-rel MPJPE: '
+         f'{mpjpe_served:.1f}mm over {len(errs)} people')
+    assert mpjpe_served < gate['served_mpjpe'], mpjpe_served
+
+    record = dict(
+        smoke=args.smoke,
+        backbone=args.backbone, steps=args.steps, det_steps=args.det_steps,
+        n_train_people=len(train3d), n_val_people=len(val3d),
+        val_mpjpe_curve=curve, detector_recall=det_recall,
+        detector_mean_iou=det_iou,
+        detect_poses_matched=matched, mpjpe_served_gt_boxes=mpjpe_served,
+        wall_s=round(time.time() - _t0, 1))
+    with open(args.record, 'w') as f:
+        json.dump(record, f, indent=2)
+    tick(f'record written to {args.record}')
+    print('TRAIN2SERVE OK')
+
+
+if __name__ == '__main__':
+    main()
