@@ -38,10 +38,10 @@ from tests import test_tf_oracle_backbone as tob
 
 from metrabs_tpu.io import weights_import as wi
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.oracle, pytest.mark.skipif(
     not tf.keras.__name__.startswith('tf_keras'),
     reason='reference EffNetV2 fork requires legacy Keras 2 '
-           '(TF_USE_LEGACY_KERAS=1 before first tf import)')
+           '(TF_USE_LEGACY_KERAS=1 before first tf import)')]
 
 N_JOINTS = 19
 PROC_SIDE = 256

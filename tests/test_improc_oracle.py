@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.oracle
+
 from tests import _reference_oracle
 
 from metrabs_tpu.data import improc as our_improc

@@ -34,9 +34,9 @@ from tests import _reference_oracle
 from tests import test_full_model_oracle as tfmo
 from tests import test_tf_oracle_backbone as tob
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.oracle, pytest.mark.skipif(
     not tf.keras.__name__.startswith('tf_keras'),
-    reason='reference EffNetV2 fork requires legacy Keras 2')
+    reason='reference EffNetV2 fork requires legacy Keras 2')]
 
 PROC_SIDE = tfmo.PROC_SIDE
 

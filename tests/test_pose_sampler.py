@@ -94,6 +94,7 @@ def test_ring_buffer_copy_last_if_nan():
 
 @pytest.mark.parametrize('check_validity', [False, True])
 @pytest.mark.parametrize('assume_nan', [False, True])
+@pytest.mark.oracle
 def test_adaptive_sampler_matches_reference(check_validity, assume_nan):
     from tests import _reference_oracle
     ref = _reference_oracle.load_reference_util3d()
@@ -112,6 +113,7 @@ def test_adaptive_sampler_matches_reference(check_validity, assume_nan):
 
 
 @pytest.mark.parametrize('buffer_size', [1, 4])
+@pytest.mark.oracle
 def test_adaptive_sampler2_matches_reference(buffer_size):
     from tests import _reference_oracle
     ref = _reference_oracle.load_reference_util3d()

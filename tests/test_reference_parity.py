@@ -32,6 +32,8 @@ import pytest
 
 tf = pytest.importorskip('tensorflow')
 
+pytestmark = pytest.mark.oracle
+
 import jax.numpy as jnp
 
 from tests import _reference_oracle

@@ -40,10 +40,10 @@ from tests import _reference_oracle
 from metrabs_tpu.io import tf_checkpoint as tc
 from metrabs_tpu.io import weights_import as wi
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.oracle, pytest.mark.skipif(
     not tf.keras.__name__.startswith('tf_keras'),
     reason='reference EffNetV2 fork requires legacy Keras 2 '
-           '(TF_USE_LEGACY_KERAS=1 before first tf import)')
+           '(TF_USE_LEGACY_KERAS=1 before first tf import)')]
 
 
 def get_fork_modules():
