@@ -148,6 +148,7 @@ def bench_fused_pipeline():
     from metrabs_tpu.models.backbones.builder import build_backbone
     from metrabs_tpu.models.metrabs import Metrabs
     from metrabs_tpu.pipeline.estimator import PoseEstimator
+    from metrabs_tpu.pipeline import bone_priors
     from metrabs_tpu.pipeline.skeletons import H36M_17
 
     rng = np.random.default_rng(0)
@@ -171,6 +172,7 @@ def bench_fused_pipeline():
         lambda state, c, k, v: model.apply(
             state, c, k, train=False, sample_valid=v),
         H36M_17, cfg, crop_model_state=params,
+        bone_mean_lengths=bone_priors.priors_for_joint_info(H36M_17),
         # approx_top_k is the serving-throughput mode benchmarked since r2
         # (the parity default is exact lax.top_k; keep bench comparable).
         detector=PersonDetector(det_model, det_vars, approx_top_k=True))

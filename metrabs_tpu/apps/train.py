@@ -108,7 +108,40 @@ def parse_args(argv=None):
     p.add_argument('--transform-coords', action='store_true')
     p.add_argument('--predict-all-and-latents', action='store_true')
     p.add_argument('--regularize-to-manifold', action='store_true')
+    # Augmentation hyperparameters (the reference's FLAGS surface,
+    # `init.py:127-153`; defaults = LoadConfig defaults = reference
+    # defaults). Synthetic/controlled datasets often need these reduced —
+    # e.g. random-erase occlusion deletes thin structures entirely.
+    p.add_argument('--no-geom-aug', action='store_true',
+                   help='disable rotation/scale/shift/flip augmentation')
+    p.add_argument('--no-color-aug', action='store_true')
+    p.add_argument('--rot-aug-degrees', type=float, default=None)
+    p.add_argument('--scale-aug-up', type=float, default=None)
+    p.add_argument('--scale-aug-down', type=float, default=None)
+    p.add_argument('--shift-aug', type=float, default=None)
+    p.add_argument('--occlude-aug-prob', type=float, default=None)
+    p.add_argument('--occlude-aug-prob-2d', type=float, default=None)
+    p.add_argument('--background-aug-prob', type=float, default=None)
+    p.add_argument('--partial-visibility-prob', type=float, default=None)
     return p.parse_args(argv)
+
+
+def build_load_config(args):
+    """LoadConfig from CLI overrides (None = keep the reference default)."""
+    from metrabs_tpu.data.loading import LoadConfig
+
+    overrides = {}
+    if args.no_geom_aug:
+        overrides['geom_aug'] = False
+    if args.no_color_aug:
+        overrides['color_aug'] = False
+    for field in ('rot_aug_degrees', 'scale_aug_up', 'scale_aug_down',
+                  'shift_aug', 'occlude_aug_prob', 'occlude_aug_prob_2d',
+                  'background_aug_prob', 'partial_visibility_prob'):
+        value = getattr(args, field)
+        if value is not None:
+            overrides[field] = value
+    return LoadConfig(**overrides)
 
 
 def warm_start_backbone(state, path, cfg, apply_head_surgery: bool):
@@ -277,7 +310,7 @@ def main(argv=None):
         it2d = shard_example_stream(
             it2d, args.batch_size_2d, jax.process_index(), n_proc)
 
-    lcfg = LoadConfig()
+    lcfg = build_load_config(args)
     loader3 = ParallelBatchLoader(
         lambda ex, r: load_and_transform3d(ex, joint_info3d, True, r, cfg, lcfg),
         it3d, batch_size=local_bs, n_workers=args.workers,

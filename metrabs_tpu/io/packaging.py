@@ -170,10 +170,25 @@ def load_crop_model(directory: str, backbone_builder=None):
     return model, variables, cfg, joint_info, manifest
 
 
-def load_pose_estimator(directory: str, backbone_builder=None) -> PoseEstimator:
-    """Reconstructs a PoseEstimator from a package directory."""
+def load_pose_estimator(directory: str, backbone_builder=None,
+                        cfg_overrides: Optional[dict] = None) -> PoseEstimator:
+    """Reconstructs a PoseEstimator from a package directory.
+
+    `cfg_overrides`: ModelConfig fields to replace for SERVING (e.g.
+    `{'warp_precision': 'bf16'}` to trade warp pixel precision for
+    throughput) — fields that define the trained model itself (joints,
+    strides, backbone) must match the package and cannot be overridden."""
     model, crop_variables, cfg, joint_info, manifest = load_crop_model(
         directory, backbone_builder)
+    if cfg_overrides:
+        import dataclasses as _dc
+        protected = {'proc_side', 'depth', 'n_joints', 'backbone',
+                     'stride_train', 'stride_test'}
+        bad = protected & set(cfg_overrides)
+        if bad:
+            raise ValueError(
+                f'cfg_overrides may not change trained-model fields: {bad}')
+        cfg = _dc.replace(cfg, **cfg_overrides)
     model_class = manifest.get('model_class', 'metrabs')
     if model_class == 'metro':
         raise ValueError(

@@ -380,6 +380,14 @@ class EfficientNetV2(nn.Module):
     # Parameter tree is identical either way (verified: lifted remat does
     # not alter variable structure).
     remat: bool = False
+    # Partial-remat boundary: blocks with index < remat_until_block are
+    # rematerialized, later ones checkpoint normally. Conv nets have no
+    # useful dot-targeted jax.checkpoint policy (the FLOPs are in
+    # conv_general_dilated, which the dots_* policies ignore), but
+    # activation MEMORY is dominated by the early high-resolution stages —
+    # so the policy lever that actually exists on this workload is WHERE
+    # remat stops. 10_000 = everywhere (the default full-block remat).
+    remat_until_block: int = 10_000
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -412,21 +420,22 @@ class EfficientNetV2(nn.Module):
         def fuse_kw(args):
             return {} if args.conv_type == 1 else dict(fuse=self.fuse_mbconv)
 
-        if self.remat:
-            # train is positional argnum 3 (self=0); it drives Python
-            # control flow inside the block so it must be static.
-            block_for = lambda args: nn.remat(
-                FusedMBConv if args.conv_type == 1 else MBConv,
-                static_argnums=(3,), prevent_cse=False)
-            scan_body = nn.remat(_ScanBody, prevent_cse=False)
-        else:
-            block_for = lambda args: (
-                FusedMBConv if args.conv_type == 1 else MBConv)
-            scan_body = _ScanBody
+        def block_for(args, idx):
+            cls = FusedMBConv if args.conv_type == 1 else MBConv
+            if self.remat and idx < self.remat_until_block:
+                # train is positional argnum 3 (self=0); it drives Python
+                # control flow inside the block so it must be static.
+                return nn.remat(cls, static_argnums=(3,), prevent_cse=False)
+            return cls
+
+        def scan_body_for(idx):
+            if self.remat and idx < self.remat_until_block:
+                return nn.remat(_ScanBody, prevent_cse=False)
+            return _ScanBody
 
         if not self.scan_blocks:
             for idx, args in enumerate(blocks):
-                h = block_for(args)(
+                h = block_for(args, idx)(
                     args=args, ghost_splits=self.ghost_splits,
                     dtype=self.dtype, name=f'blocks_{idx}',
                     **fuse_kw(args))(
@@ -441,7 +450,7 @@ class EfficientNetV2(nn.Module):
             idx = 0
             while idx < n_blocks:
                 args = blocks[idx]
-                h = block_for(args)(
+                h = block_for(args, idx)(
                     args=args, ghost_splits=self.ghost_splits,
                     dtype=self.dtype, name=f'blocks_{idx}',
                     **fuse_kw(args))(
@@ -456,7 +465,7 @@ class EfficientNetV2(nn.Module):
                     rest_args = blocks[idx]
                     sp = jnp.asarray(survival[idx:idx + n_rest], jnp.float32)
                     scanned = nn.scan(
-                        scan_body,
+                        scan_body_for(idx),
                         variable_axes={'params': 0, 'batch_stats': 0},
                         split_rngs={'params': True, 'dropout': True},
                         in_axes=(0,), length=n_rest,
@@ -468,7 +477,7 @@ class EfficientNetV2(nn.Module):
                     h, _ = scanned(h, sp)
                     idx += n_rest
                 elif n_rest == 1:
-                    h = block_for(blocks[idx])(
+                    h = block_for(blocks[idx], idx)(
                         args=blocks[idx], ghost_splits=self.ghost_splits,
                         dtype=self.dtype, name=f'blocks_{idx}',
                         **fuse_kw(blocks[idx]))(

@@ -431,19 +431,19 @@ class PoseEstimator:
             # detect_poses(suppress_implausible_poses=True) would filter
             # through these approximations.
             import warnings
-            # The built-in approximate table is ONLY considered for the
-            # h36m_17 convention it approximates — match by joint
-            # names+edges, not edge count (any 16-edge skeleton would
-            # alias, and its differently-ordered edges would be checked
-            # against the wrong priors in the plausibility filter).
-            from metrabs_tpu.pipeline.skeletons import H36M_17
-            if (tuple(joint_info.names) == tuple(H36M_17.names)
-                    and tuple(joint_info.edges) == tuple(H36M_17.edges)):
-                bone_mean_lengths = H36M_17_MEAN_BONES_MM
+            # The shipped asset is ONLY consulted on an exact joint
+            # names+edges match, never by edge count (any same-count
+            # skeleton would alias, and its differently-ordered edges
+            # would be checked against the wrong priors).
+            from metrabs_tpu.pipeline import bone_priors
+            asset = bone_priors.priors_for_joint_info(joint_info)
+            if asset is not None:
+                bone_mean_lengths = asset
                 warnings.warn(
                     'PoseEstimator: no bone_mean_lengths provided; the '
-                    'plausibility filter will use built-in APPROXIMATE '
-                    'anthropometric h36m_17 bone lengths, not '
+                    'plausibility filter will use the built-in APPROXIMATE '
+                    'anthropometric priors asset '
+                    '(metrabs_tpu/assets/bone_priors.json), not '
                     'dataset-derived means. Ship dataset-derived priors '
                     '(apps/train.py accumulates them automatically, or '
                     'pipeline.plausibility.compute_bone_mean_lengths).',
@@ -453,9 +453,10 @@ class PoseEstimator:
                     len(joint_info.edges), 300.0, np.float32)
                 warnings.warn(
                     'PoseEstimator: no bone_mean_lengths provided for a '
-                    'non-h36m_17 skeleton; the plausibility filter falls '
-                    'back to a FLAT 300mm prior for every bone, which '
-                    'makes detect_poses(suppress_implausible_poses=True) '
+                    'joint set matching no built-in skeleton; the '
+                    'plausibility filter falls back to a FLAT 300mm prior '
+                    'for every bone, which makes '
+                    'detect_poses(suppress_implausible_poses=True) '
                     'unreliable. Provide dataset-derived means '
                     '(apps/train.py accumulates them automatically, or '
                     'pipeline.plausibility.compute_bone_mean_lengths).',
@@ -759,6 +760,47 @@ class PoseEstimator:
             max_detections=max_detections,
             detector_flip_aug=detector_flip_aug,
             suppress_implausible_poses=suppress_implausible_poses)
+
+    def detect_poses_pipelined(self, image_batches, *, in_flight=2,
+                               fused=False, **kwargs):
+        """detect_poses_batched over an ITERABLE of [B, H, W, 3] frame
+        batches with `in_flight` batches kept dispatched ahead of host
+        materialization — a generator yielding per-batch host-numpy dicts
+        in order.
+
+        Every jit call in the unfused path is async (the detector and
+        estimator programs of batch k+1 enqueue while batch k still runs),
+        so the host readback of batch k-1 overlaps device compute of later
+        batches: per-batch wall time approaches max(device time, transfer
+        time) instead of their sum. This recovers most of the fused
+        single-program win (`multiperson_model.py:42-73`) on transports
+        where the fused program cannot ship (the dev tunnel rejects
+        oversized compile requests for flagship-size fused graphs) and is
+        the latency-tolerant analogue of `detect_poses_stream` when frames
+        arrive incrementally rather than as one [K, B, ...] block.
+
+        `fused=True` pipelines the fused one-program path instead (useful
+        to hide host transfer when that program is transportable). Camera
+        arguments in `kwargs` are shared across batches (fixed-camera
+        serving); semantics per batch are identical to
+        `detect_poses_batched` (tested)."""
+        if self.detector is None:
+            raise ValueError('No detector attached to this estimator.')
+        if in_flight < 1:
+            raise ValueError('in_flight must be >= 1')
+        from collections import deque
+        pending = deque()
+
+        def materialize(result):
+            return {k: np.asarray(v) for k, v in result.items()}
+
+        for images in image_batches:
+            pending.append(
+                self.detect_poses_batched(images, fused=fused, **kwargs))
+            if len(pending) > in_flight:
+                yield materialize(pending.popleft())
+        while pending:
+            yield materialize(pending.popleft())
 
     def _make_fused_fn(self, *, max_detections, detector_flip_aug,
                        flip_vertical, orig_h, orig_w, **static_kwargs):

