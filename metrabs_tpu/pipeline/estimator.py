@@ -258,15 +258,22 @@ def estimate_poses_batched_fn(
                 image_ids=jnp.tile(ids_c, (num_aug,)),
                 output_shape=(out_side, out_side))
             # Precision resolution: with a bf16 crop model, 'high' runs the
-            # 2-pass kernel — the dropped win_lo MXU pass carries only
-            # pixel-VALUE precision beyond bf16, which the .astype(bf16)
-            # cast below destroys anyway (the geometry-critical subpixel
-            # hat-weight term is kept). Measured 0.204 vs 0.266 ms/crop with
-            # max|err| 2.0e-3 = 1 ulp of bf16 on [0,1] pixels.
+            # single-pass bf16 kernel — the dropped hi/lo-split MXU passes
+            # carry only pixel-VALUE precision beyond bf16, which the
+            # .astype(bf16) cast below destroys anyway (the
+            # geometry-critical subpixel hat-weight term is kept).
+            # Validated on TRAINED weights (WARP_PRECISION_POSES_r04.json,
+            # scripts/validate_warp_precision_poses.py): MPJPE delta
+            # +0.009mm vs the 2-pass mode, and the 4.3mm max pose delta is
+            # the same magnitude as exact-f32's own 3.2mm distance from the
+            # 2-pass baseline — i.e. warp pixel noise, not systematic
+            # error. Kernel cost 0.15 vs 0.204 (bf16x2) vs 0.266 (bf16x3)
+            # ms/crop @256. Explicit cfg.warp_precision opts into the
+            # higher-precision modes.
             warp_precision = cfg.warp_precision
             if (warp_precision == 'high'
                     and jnp.dtype(cfg.dtype) == jnp.bfloat16):
-                warp_precision = 'bf16x2'
+                warp_precision = 'bf16'
             if backend.startswith('tiled'):
                 crops = warp_pallas.warp_images_with_pyramid_tiled(
                     None, pyramid_canvas=pyramid_canvas,
