@@ -33,6 +33,9 @@ def main():
     p.add_argument('--threshold', type=float, default=0.0,
                    help='0.0 = dense (every candidate box survives)')
     p.add_argument('--platform', default='')
+    p.add_argument('--host-input', action='store_true',
+                   help='feed host numpy frames (measures H2D overlap too; '
+                        'over the dev tunnel this is bandwidth-dominated)')
     p.add_argument('--out', default='/root/repo/PIPELINED_r04.json')
     args = p.parse_args()
 
@@ -88,6 +91,13 @@ def main():
     rng = np.random.default_rng(0)
     batches = [rng.integers(0, 255, size=(args.batch, 1080, 1920, 3),
                             dtype=np.uint8) for _ in range(args.n_batches)]
+    if not args.host_input:
+        # Device-resident frames (the r2/r3 methodology): over the dev
+        # tunnel, host->device of 50 MB/batch costs ~4 s/batch and swamps
+        # everything — measured 4239 ms/batch serial with host arrays vs
+        # 383.5 ms in r3. Production hosts feed frames over local PCIe.
+        batches = [jax.device_put(b) for b in batches]
+        jax.block_until_ready(batches)
     kwargs = dict(num_aug=args.num_aug, max_detections=16,
                   detector_threshold=args.threshold, fused=False)
 

@@ -104,10 +104,15 @@ def main():
                 out = out + tap * dwk[dy, dx, 0].astype(acc_dtype)
         return out.astype(jnp.bfloat16)
 
-    def block(v, x, dw_fn):
+    def block(v, x, dw_fn, barrier_after_expand=False):
         # bf16 compute throughout = flax dtype=bfloat16 inference semantics.
         u = conv(x, v['w_exp'])
         u = jax.nn.silu(u * v['s0'] + v['b0'])
+        if barrier_after_expand:
+            # Keeps XLA from fusing the expand conv into the depthwise
+            # emitter (EmitDepthwiseAllBatchInLanes) — the f32-elementwise
+            # probe (probe_mbconv_barrier.py) measured this 20% faster.
+            u = jax.lax.optimization_barrier(u)
         d = dw_fn(u, v['dwk'])
         d = jax.nn.silu(d * v['s1'] + v['b1'])
         m = jnp.mean(d, axis=(1, 2), keepdims=True)
@@ -119,13 +124,17 @@ def main():
         return x + y
 
     variants = {
-        'dw_emitter': dw_conv,
-        'shift9_bf16': functools.partial(dw_shift9, acc_dtype=jnp.bfloat16),
-        'shift9_f32': functools.partial(dw_shift9, acc_dtype=jnp.float32),
+        'dw_emitter': (dw_conv, False),
+        'dw_emitter_barrier': (dw_conv, True),
+        'shift9_bf16': (functools.partial(dw_shift9, acc_dtype=jnp.bfloat16),
+                        False),
+        'shift9_f32': (functools.partial(dw_shift9, acc_dtype=jnp.float32),
+                       False),
     }
 
-    for name, dw_fn in variants.items():
-        fn = functools.partial(block, dw_fn=dw_fn)
+    for name, (dw_fn, barrier) in variants.items():
+        fn = functools.partial(block, dw_fn=dw_fn,
+                               barrier_after_expand=barrier)
 
         @jax.jit
         def run(v, x, xs):
