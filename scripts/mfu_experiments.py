@@ -5,11 +5,23 @@ adamw+EMA) across remat-policy, optimizer-dtype, and batch variants on the
 real chip, with per-variant:
   - ms/step and crops/s from an on-device lax.scan timing loop (the only
     timing that is honest over the tunnel — CLAUDE.md rule 3),
-  - achieved TFLOP/s and MFU from XLA cost analysis of the step HLO
-    (flops lowered for the CPU backend at a small batch and scaled
-    linearly — verified with a two-point linearity check),
-  - compiled peak-memory figures (memory_analysis) where the backend
-    reports them.
+  - achieved TFLOP/s and MFU from the standard model-FLOPs definition
+    (3x the forward FLOPs: fwd + 2x-fwd backward), where the forward
+    count comes from XLA cost analysis of the UNSCANNED inference
+    forward on the CPU backend — the same validated method as bench.py.
+
+FLOP accounting note (measured 2026-08-19, this script's first version
+got it wrong): HLO cost analysis of the TRAINING step is unusable for
+MFU on two counts. (1) lax.scan lowers to a while loop whose body the
+analysis counts ONCE, not trip_count times — the scanned-blocks layout
+undercounts EffNetV2-S@128 4.9x (22.8 vs 111.8 GFLOP/step). (2) The
+backward of strided/dilated convs lowers to convs over zero-dilated
+inputs whose padded FLOPs the analysis counts at face value — the
+unscanned no-remat step counts 13.7x the forward (theoretical: 3x).
+So: MFU here = measured_crops_per_sec * 3 * fwd_flops_per_crop / peak
+(the PaLM-style model-FLOPs definition; remat recompute NOT credited),
+plus an informational hw_flops utilization crediting remat's extra
+forward (4x fwd) for remat variants.
 
 Remat-policy family: conv nets have no useful dots-targeted
 jax.checkpoint policy (the FLOPs live in conv_general_dilated, which the
@@ -144,29 +156,38 @@ def main():
             model, tx, H36M_17, LSP_14, cfg, tcfg)
         return model, tx, cfg, step_fn
 
-    def flops_per_step(variant):
-        """Step flops via CPU-backend lowering at a small batch, scaled
-        linearly (conv/matmul flops are linear in batch; the two-point
-        check below guards the assumption)."""
-        model, tx, cfg, step_fn = build(variant)
-        cpu = jax.devices('cpu')[0]
+    _fwd_flops_cache = {}
 
-        def count(nb):
-            b3, b2 = jax.eval_shape(lambda: make_batches(nb))
-            state_shape = jax.eval_shape(
-                lambda: loop_mod.create_train_state(
-                    model, tx, jax.random.PRNGKey(0), cfg))
-            lowered = jax.jit(
-                lambda st, x3, x2: step_fn(st, x3, x2, jax.random.PRNGKey(0)),
-                device=cpu).lower(state_shape, b3, b2)
-            return float(lowered.compile().cost_analysis()['flops'])
-
-        f1 = count(args.flops_batch)
-        f2 = count(args.flops_batch * 2)
-        lin = f2 / (2 * f1)
-        if not 0.95 < lin < 1.05:
-            print(f'  WARNING: flops nonlinearity {lin:.3f}', flush=True)
-        return f1 / args.flops_batch * n, lin
+    def fwd_flops_per_crop():
+        """Forward FLOPs/crop from the UNSCANNED inference lowering on the
+        CPU backend (bench.py's validated method; see the module docstring
+        for why the training-step HLO count is unusable)."""
+        if 'v' in _fwd_flops_cache:
+            return _fwd_flops_cache['v']
+        cfg = ModelConfig(proc_side=res, depth=8, n_joints=17,
+                          dtype='bfloat16', backbone=args.backbone)
+        if is_effnet:
+            bb = EfficientNetV2(model_name=args.backbone,
+                                dtype=jnp.bfloat16, scan_blocks=False)
+        else:
+            bb = build_backbone(args.backbone, dtype=jnp.bfloat16)
+        model = Metrabs(cfg=cfg, backbone=bb)
+        nb = args.flops_batch
+        params = jax.eval_shape(lambda: model.init(
+            {'params': jax.random.PRNGKey(0)},
+            jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None]))
+        img = jax.ShapeDtypeStruct((nb, res, res, 3), jnp.bfloat16)
+        intr = jax.ShapeDtypeStruct((nb, 3, 3), jnp.float32)
+        # Default backend (same as bench.py's count): on the TPU the
+        # remote compile of the unscanned forward is fast; FLOP counts are
+        # backend-independent for conv/dot (verified vs BENCH_r03's CPU
+        # figure, 72.83 GFLOP/crop at L@384).
+        lowered = jax.jit(
+            lambda p, i, k: model.apply(p, i, k, train=False)).lower(
+                params, img, intr)
+        f = float(lowered.compile().cost_analysis()['flops']) / nb
+        _fwd_flops_cache['v'] = f
+        return f
 
     results = {}
     if os.path.exists(args.out):
@@ -210,11 +231,17 @@ def main():
                        crops_per_sec=round(crops_s, 1),
                        batch=f'{n}+{n}', res=res, backbone=args.backbone)
             try:
-                fl, lin = flops_per_step(variant)
-                tflops = fl / (ms / 1e3) / 1e12
-                rec.update(flops_per_step=fl, flops_linearity=round(lin, 4),
-                           achieved_tflops=round(tflops, 1),
-                           mfu_pct=round(100 * tflops / PEAK_BF16_TFLOPS, 1))
+                fwd = fwd_flops_per_crop()
+                model_tflops = crops_s * 3 * fwd / 1e12
+                rec.update(
+                    fwd_flops_per_crop=fwd,
+                    model_tflops=round(model_tflops, 1),
+                    mfu_pct=round(100 * model_tflops / PEAK_BF16_TFLOPS, 1))
+                if variant.get('remat', True):
+                    hw = crops_s * 4 * fwd / 1e12  # + remat recompute fwd
+                    rec.update(hw_tflops=round(hw, 1),
+                               hw_util_pct=round(
+                                   100 * hw / PEAK_BF16_TFLOPS, 1))
             except Exception as e:  # flops analysis is best-effort
                 rec['flops_error'] = repr(e)
             print(f'  {rec}', flush=True)
