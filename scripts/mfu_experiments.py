@@ -178,14 +178,17 @@ def main():
             jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None]))
         img = jax.ShapeDtypeStruct((nb, res, res, 3), jnp.bfloat16)
         intr = jax.ShapeDtypeStruct((nb, 3, 3), jnp.float32)
-        # Default backend (same as bench.py's count): on the TPU the
-        # remote compile of the unscanned forward is fast; FLOP counts are
-        # backend-independent for conv/dot (verified vs BENCH_r03's CPU
-        # figure, 72.83 GFLOP/crop at L@384).
+        # bench.py's exact method: PRE-compile cost analysis of the CPU
+        # lowering (no compile happens; the axon backend returns None
+        # pre-compile, and post-compile TPU counts include layout padding —
+        # measured +11% at nb=1 vs this count).
         lowered = jax.jit(
-            lambda p, i, k: model.apply(p, i, k, train=False)).lower(
-                params, img, intr)
-        f = float(lowered.compile().cost_analysis()['flops']) / nb
+            lambda p, i, k: model.apply(p, i, k, train=False),
+            backend='cpu').lower(params, img, intr)
+        costs = lowered.cost_analysis()
+        if isinstance(costs, (list, tuple)):
+            costs = costs[0]
+        f = float(costs['flops']) / nb
         _fwd_flops_cache['v'] = f
         return f
 
