@@ -60,7 +60,14 @@ def bench_crop_model(backbone_name, res, batch, iters):
 
     cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',
                       backbone=backbone_name)
-    model = Metrabs(cfg=cfg, backbone=build_backbone(backbone_name))
+    # Unrolled block layout: the serving default since round 4 — ~11% faster
+    # than the nn.scan-stacked layout at L@384 b128 (PROBE_INFER_r04.json:
+    # 1306 -> 1455 crops/s; identical math, tests/test_scan_convert.py) at
+    # the cost of a longer one-time compile. BENCH_SCAN_BLOCKS=1 restores
+    # the scanned layout for apples-to-apples with BENCH_r01..r03.
+    scan_blocks = os.environ.get('BENCH_SCAN_BLOCKS', '') == '1'
+    model = Metrabs(cfg=cfg, backbone=build_backbone(
+        backbone_name, scan_blocks=scan_blocks))
     params = jax.jit(model.init)(
         {'params': jax.random.PRNGKey(0)},
         jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
@@ -157,7 +164,11 @@ def bench_fused_pipeline():
         0, 255, size=(frames, 1080, 1920, 3), dtype=np.uint8))
     cfg = ModelConfig(proc_side=256, depth=8, n_joints=17, dtype='bfloat16',
                       backbone='efficientnetv2-s')
-    model = Metrabs(cfg=cfg, backbone=build_backbone('efficientnetv2-s'))
+    # Unrolled block layout = the load_pose_estimator serving default since
+    # round 4 (see bench_crop_model); BENCH_SCAN_BLOCKS=1 restores scanned.
+    model = Metrabs(cfg=cfg, backbone=build_backbone(
+        'efficientnetv2-s',
+        scan_blocks=os.environ.get('BENCH_SCAN_BLOCKS', '') == '1'))
     params = jax.jit(model.init)(
         {'params': jax.random.PRNGKey(0)},
         jnp.zeros((1, 256, 256, 3), jnp.bfloat16), jnp.eye(3)[None])

@@ -126,14 +126,20 @@ def add_detector_to_package(
         json.dump(manifest, f, indent=2)
 
 
-def load_crop_model(directory: str, backbone_builder=None):
+def load_crop_model(directory: str, backbone_builder=None,
+                    scan_blocks: Optional[bool] = None):
     """Loads the bare crop model from a package directory.
 
     Returns (model, variables, cfg, joint_info, manifest) for any
     model_class — including 'metro', whose root-relative-only output cannot
     drive the absolute multi-person estimator (the reference never packages
     Metro into the multiperson SavedModel either; `models/__init__.py:1-2`
-    does not even export it)."""
+    does not even export it).
+
+    `scan_blocks`: None keeps the packaged layout; False unrolls a
+    scanned-layout backbone (converting the stored variables with
+    `scan_convert.scanned_to_flat`) — the serving-throughput layout, ~11%
+    faster at L@384 (PROBE_INFER_r04.json) for a longer one-time compile."""
     from metrabs_tpu.models.backbones.builder import build_backbone
 
     with open(os.path.join(directory, 'manifest.json')) as f:
@@ -144,6 +150,15 @@ def load_crop_model(directory: str, backbone_builder=None):
         edges=tuple(tuple(e) for e in manifest['joint_edges']))
     variables = load_model_msgpack(
         os.path.join(directory, 'crop_model.msgpack'))['variables']
+    if scan_blocks is not None and scan_blocks != cfg.backbone_scan_blocks:
+        if scan_blocks:
+            raise ValueError(
+                'Re-stacking a flat-layout package into the scanned layout '
+                'needs a scanned template; use io.scan_convert.'
+                'flat_to_scanned with a freshly-initialized scanned model')
+        from metrabs_tpu.io.scan_convert import scanned_to_flat
+        variables = scanned_to_flat(variables)
+        cfg = dataclasses.replace(cfg, backbone_scan_blocks=False)
     backbone = (backbone_builder or build_backbone)(
         cfg.backbone, centered_stride=cfg.centered_stride,
         dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks,
@@ -177,9 +192,20 @@ def load_pose_estimator(directory: str, backbone_builder=None,
     `cfg_overrides`: ModelConfig fields to replace for SERVING (e.g.
     `{'warp_precision': 'bf16'}` to trade warp pixel precision for
     throughput) — fields that define the trained model itself (joints,
-    strides, backbone) must match the package and cannot be overridden."""
+    strides, backbone) must match the package and cannot be overridden.
+
+    Serving default: a scanned-layout backbone is UNROLLED at load
+    (`scan_blocks=False` + `scanned_to_flat` on the stored variables) —
+    measured ~11% faster on the v5e at L@384 (PROBE_INFER_r04.json;
+    identical math, pinned by tests/test_scan_convert.py) for a longer
+    one-time compile. Opt out with
+    `cfg_overrides={'backbone_scan_blocks': True}` (e.g. on compile-time-
+    sensitive dev backends)."""
+    cfg_overrides = dict(cfg_overrides or {})
+    scan_blocks = cfg_overrides.pop('backbone_scan_blocks', False)
     model, crop_variables, cfg, joint_info, manifest = load_crop_model(
-        directory, backbone_builder)
+        directory, backbone_builder,
+        scan_blocks=None if scan_blocks else False)
     if cfg_overrides:
         import dataclasses as _dc
         protected = {'proc_side', 'depth', 'n_joints', 'backbone',

@@ -76,3 +76,44 @@ def flat_to_scanned(flat_variables: Dict, scanned_template: Dict) -> Dict:
 
     return stack_scan_groups(flat_variables, scanned_template,
                              r'blocks_(\d+)_scan(\d+)$', source_key)
+
+
+_SCAN_GROUP = re.compile(r'blocks_(\d+)_scan(\d+)$')
+
+
+def scanned_to_flat(variables: Dict) -> Dict:
+    """Inverse of `flat_to_scanned`, template-free: splits every
+    `.../blocks_{start}_scan{n}/block/...` stacked leaf (leading axis n)
+    into n flat `.../blocks_{start+i}/...` leaves. Works at any tree depth
+    (full-model trees where the backbone is a submodule) and on any
+    collection; keys without a scan group pass through unchanged.
+
+    This is the serving-time unroll: the scanned layout exists for compile
+    speed (79 L-blocks -> one program per stage), but the unrolled HLO runs
+    ~11% faster on the v5e (dynamic-sliced stacked weights + no cross-block
+    specialization cost; PROBE_INFER_r04.json: 1306 -> 1455 crops/s at
+    L@384 b128). Slicing is lazy on the leaf's own array type, so numpy
+    msgpack trees stay host-side.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    out = {}
+    for key, value in flat.items():
+        hits = [(j, _SCAN_GROUP.match(part)) for j, part in enumerate(key)
+                if _SCAN_GROUP.match(part)]
+        if not hits:
+            out[key] = value
+            continue
+        if len(hits) > 1:
+            raise ValueError(f'Nested scan groups at {key}')
+        j, m = hits[0]
+        start, n = int(m.group(1)), int(m.group(2))
+        if key[j + 1] != 'block':
+            raise ValueError(f'Scan group {key} lacks the "block" wrapper')
+        if value.shape[0] != n:
+            raise ValueError(
+                f'Leading axis {value.shape[0]} != scan length {n} at {key}')
+        for i in range(n):
+            out[key[:j] + (f'blocks_{start + i}',) + key[j + 2:]] = value[i]
+    return flax.traverse_util.unflatten_dict(out)
