@@ -72,8 +72,13 @@ def main():
     res = args.res
     cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',
                       backbone=args.backbone)
-    model = Metrabs(cfg=cfg, backbone=build_backbone(args.backbone,
-                                                     dtype=jnp.bfloat16))
+    # Unrolled block layout: the load_pose_estimator serving default since
+    # round 4 (+11% crop throughput, PROBE_INFER_r04.json). BPF_SCAN=1
+    # restores the scanned layout for apples-to-apples with the first
+    # PIPELINED_r04 recording.
+    model = Metrabs(cfg=cfg, backbone=build_backbone(
+        args.backbone, dtype=jnp.bfloat16,
+        scan_blocks=os.environ.get('BPF_SCAN', '') == '1'))
     params = jax.jit(model.init)(
         {'params': jax.random.PRNGKey(0)},
         jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
