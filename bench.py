@@ -66,11 +66,23 @@ def bench_crop_model(backbone_name, res, batch, iters):
     # the cost of a longer one-time compile. BENCH_SCAN_BLOCKS=1 restores
     # the scanned layout for apples-to-apples with BENCH_r01..r03.
     scan_blocks = os.environ.get('BENCH_SCAN_BLOCKS', '') == '1'
+    # Folded-BN serving layout (io/bn_fold.py) = the load_pose_estimator
+    # default since round 5: BN affines live in the conv weights and the BN
+    # ops vanish (~8% of the L@384 forward was BN HBM traffic,
+    # PROBE_INFER_r04 bn_identity). BENCH_BN_FOLD=0 restores unfolded.
+    bn_fold = os.environ.get('BENCH_BN_FOLD', '1') == '1'
     model = Metrabs(cfg=cfg, backbone=build_backbone(
         backbone_name, scan_blocks=scan_blocks))
     params = jax.jit(model.init)(
         {'params': jax.random.PRNGKey(0)},
         jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
+    if bn_fold:
+        from metrabs_tpu.io.bn_fold import bn_epsilon_for, fold_bn_variables
+        params = fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, params),
+            epsilon=bn_epsilon_for(backbone_name))
+        model = Metrabs(cfg=cfg, backbone=build_backbone(
+            backbone_name, scan_blocks=scan_blocks, bn_fold=True))
 
     def make_runner(n_iters):
         @jax.jit
@@ -166,9 +178,10 @@ def bench_fused_pipeline():
                       backbone='efficientnetv2-s')
     # Unrolled block layout = the load_pose_estimator serving default since
     # round 4 (see bench_crop_model); BENCH_SCAN_BLOCKS=1 restores scanned.
+    scan_blocks = os.environ.get('BENCH_SCAN_BLOCKS', '') == '1'
+    bn_fold = os.environ.get('BENCH_BN_FOLD', '1') == '1'
     model = Metrabs(cfg=cfg, backbone=build_backbone(
-        'efficientnetv2-s',
-        scan_blocks=os.environ.get('BENCH_SCAN_BLOCKS', '') == '1'))
+        'efficientnetv2-s', scan_blocks=scan_blocks))
     params = jax.jit(model.init)(
         {'params': jax.random.PRNGKey(0)},
         jnp.zeros((1, 256, 256, 3), jnp.bfloat16), jnp.eye(3)[None])
@@ -176,6 +189,17 @@ def bench_fused_pipeline():
     det_vars = jax.jit(lambda: det_model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, 416, 416, 3), jnp.float32),
         train=False))()
+    if bn_fold:
+        # Same load-time fold as load_pose_estimator (crop model eps 1e-3,
+        # darknet detector eps 1e-5); see bench_crop_model.
+        from metrabs_tpu.io.bn_fold import fold_bn_variables
+        params = fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, params), epsilon=1e-3)
+        model = Metrabs(cfg=cfg, backbone=build_backbone(
+            'efficientnetv2-s', scan_blocks=scan_blocks, bn_fold=True))
+        det_vars = fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, det_vars), epsilon=1e-5)
+        det_model = YOLOv4(num_classes=80, dtype=jnp.float32, bn_fold=True)
     # Weights threaded as jit arguments via crop_model_state (CLAUDE.md
     # rule 1: a closure would embed them as HLO constants in every compiled
     # pipeline variant and bloat the remote-compile requests).

@@ -67,6 +67,12 @@ def main(argv=None):
     parser.add_argument('--num-aug', type=int, default=5)
     parser.add_argument('--skeleton', default='')
     parser.add_argument('--fov', type=float, default=55.0)
+    parser.add_argument(
+        '--fast-load', action='store_true',
+        help='keep the packaged scanned backbone layout instead of the '
+             'serving-default unroll: much faster cold compile (~1 min vs '
+             'tens of minutes for EffNetV2-L on an empty compile cache) at '
+             '~11%% lower crop throughput - right trade for interactive use')
     args = parser.parse_args(argv)
 
     from metrabs_tpu.data.improc import imread
@@ -74,7 +80,10 @@ def main(argv=None):
 
     if args.package:
         from metrabs_tpu.io.packaging import load_pose_estimator
-        estimator = load_pose_estimator(args.package)
+        estimator = load_pose_estimator(
+            args.package,
+            cfg_overrides={'backbone_scan_blocks': True} if args.fast_load
+            else None)
     else:
         estimator = build_default_estimator()
 

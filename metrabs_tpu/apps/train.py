@@ -92,6 +92,16 @@ def parse_args(argv=None):
     p.add_argument('--tp-min-size', type=int, default=2 ** 16,
                    help='smallest kernel (elements) sharded over the model '
                         'axis; smaller leaves stay replicated')
+    p.add_argument('--absloss-factor', type=float, default=None,
+                   help='weight of the absolute-pose loss once active '
+                        '(reference FLAGS.absloss_factor, `init.py:232`; '
+                        'default 0.1)')
+    p.add_argument('--absloss-start-step', type=int, default=None,
+                   help='optimizer step after which the absolute-pose loss '
+                        'switches on (reference '
+                        'FLAGS.absloss_start_step, `init.py:231`; default '
+                        '5000). Must be < --training-steps for the '
+                        'absolute channel to train at all.')
     p.add_argument('--model-class', default='metrabs',
                    choices=('metrabs', 'metro', 'model25d'),
                    help='crop-model architecture (`main.py:177-180`): '
@@ -240,7 +250,17 @@ def main(argv=None):
         predict_all_and_latents=args.predict_all_and_latents,
         regularize_to_manifold=args.regularize_to_manifold,
         constrain_kernel_norm=args.constrain_kernel_norm,
-        batch_size_test=args.batch_size_test)
+        batch_size_test=args.batch_size_test,
+        **{k: v for k, v in (('absloss_factor', args.absloss_factor),
+                             ('absloss_start_step', args.absloss_start_step))
+           if v is not None})
+    if (args.model_class == 'metrabs'
+            and tcfg.absloss_start_step
+            >= args.training_steps * args.grad_accum_steps):
+        print(f'WARNING: absloss_start_step ({tcfg.absloss_start_step}) >= '
+              f'total steps ({args.training_steps * args.grad_accum_steps}) '
+              f'— the ABSOLUTE-pose loss will never activate in this run '
+              f'(pass --absloss-start-step < total steps)', flush=True)
 
     affine_weights = None
     latent_mode = ''

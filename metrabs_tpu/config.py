@@ -60,6 +60,12 @@ class ModelConfig:
     # single-pass (~4e-3 max pixel error ~= the u8 source quantization,
     # fastest — measure pose delta on trained weights before serving).
     warp_precision: str = 'high'
+    # Serving-only folded-BN layout (io/bn_fold.py): BatchNorm affines are
+    # folded into the conv weights at load time and the BN ops vanish from
+    # the graph (~8% of the L@384 forward, PROBE_INFER_r04 bn_identity).
+    # Training packages always record False; load_pose_estimator flips it
+    # (with the matching variables transform) for supported families.
+    bn_fold: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

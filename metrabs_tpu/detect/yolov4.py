@@ -61,6 +61,9 @@ class ConvBlock(nn.Module):
     stride: int = 1
     activation: str = 'leaky'  # 'mish' | 'leaky' | 'linear'
     use_bn: bool = True
+    # Inference-only folded-BN layout (io/bn_fold.py): the conv carries a
+    # bias and the BN op is skipped; variables from fold_bn_variables.
+    bn_fold: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,9 +76,10 @@ class ConvBlock(nn.Module):
             padding = 'SAME'
         x = nn.Conv(self.filters, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=padding,
-                    use_bias=not self.use_bn, dtype=self.dtype,
+                    use_bias=(not self.use_bn) or self.bn_fold,
+                    dtype=self.dtype,
                     param_dtype=jnp.float32, name='conv')(x)
-        if self.use_bn:
+        if self.use_bn and not self.bn_fold:
             x = nn.BatchNorm(use_running_average=True, momentum=0.99,
                              epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name='bn')(x)
@@ -92,13 +96,16 @@ class _ResScanBody(nn.Module):
     f2: int
     dtype: Any
     train: bool
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         shortcut = carry
         x = ConvBlock(filters=self.f1, kernel=1, activation='mish',
+                      bn_fold=self.bn_fold,
                       dtype=self.dtype, name='conv_a')(carry, self.train)
         x = ConvBlock(filters=self.f2, kernel=3, activation='mish',
+                      bn_fold=self.bn_fold,
                       dtype=self.dtype, name='conv_b')(x, self.train)
         return shortcut + x, None
 
@@ -118,9 +125,13 @@ class YOLOv4(nn.Module):
     num_classes: int = NUM_CLASSES
     dtype: Any = jnp.float32
     scan_repeats: bool = True
+    # Inference-only folded-BN serving layout (io/bn_fold.py).
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         counter = [0]
 
         def next_idx():
@@ -131,7 +142,8 @@ class YOLOv4(nn.Module):
         def conv(x, filters, kernel, stride=1, act='mish', bn=True):
             return ConvBlock(
                 filters=filters, kernel=kernel, stride=stride, activation=act,
-                use_bn=bn, dtype=self.dtype, name=f'conv_{next_idx()}')(x, train)
+                use_bn=bn, bn_fold=self.bn_fold, dtype=self.dtype,
+                name=f'conv_{next_idx()}')(x, train)
 
         def res_block(x, f1, f2, act='mish'):
             shortcut = x
@@ -150,6 +162,7 @@ class YOLOv4(nn.Module):
                     length=n_blocks,
                     metadata_params={nn.PARTITION_NAME: None})(
                     f1=f1, f2=f2, dtype=self.dtype, train=train,
+                    bn_fold=self.bn_fold,
                     name=f'res_scan_{start}_{n_blocks}')
                 x, _ = scanned(x, None)
                 return x
@@ -256,9 +269,13 @@ class YOLOv4Tiny(nn.Module):
 
     num_classes: int = NUM_CLASSES
     dtype: Any = jnp.float32
+    # Inference-only folded-BN serving layout (io/bn_fold.py).
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         counter = [0]
 
         def conv(x, filters, kernel, stride=1, act='leaky', bn=True):
@@ -266,7 +283,8 @@ class YOLOv4Tiny(nn.Module):
             counter[0] += 1
             return ConvBlock(
                 filters=filters, kernel=kernel, stride=stride, activation=act,
-                use_bn=bn, dtype=self.dtype, name=f'conv_{i}')(x, train)
+                use_bn=bn, bn_fold=self.bn_fold, dtype=self.dtype,
+                name=f'conv_{i}')(x, train)
 
         def csp_osa_block(x, f):
             # cfg: conv f 3x3; route groups=2 group_id=1 (second channel
@@ -306,15 +324,21 @@ class YOLOv4Tiny(nn.Module):
         return ANCHORS_TINY, STRIDES_TINY, XYSCALE_TINY
 
 
-def build_detector_model(kind: str, dtype=jnp.float32, scan_repeats: bool = True):
-    """Constructs the detector module for a registry `detector` string."""
+def build_detector_model(kind: str, dtype=jnp.float32, scan_repeats: bool = True,
+                         bn_fold: bool = False):
+    """Constructs the detector module for a registry `detector` string.
+
+    `bn_fold`: inference-only folded-BN serving layout (io/bn_fold.py;
+    darknet BN epsilon 1e-5). Supported for the YOLOv4 family."""
     if kind == 'yolov4':
-        return YOLOv4(dtype=dtype, scan_repeats=scan_repeats)
+        return YOLOv4(dtype=dtype, scan_repeats=scan_repeats, bn_fold=bn_fold)
     if kind == 'yolov4-tiny':
-        return YOLOv4Tiny(dtype=dtype)
+        return YOLOv4Tiny(dtype=dtype, bn_fold=bn_fold)
     if kind.startswith('yolov8') and kind[-1] in 'nsmlx' and len(kind) == 7:
         # The PT reference stack's detector family
         # (`person_detector.py:12` uses yolov8m).
+        if bn_fold:
+            raise ValueError('bn_fold is not wired for YOLOv8 yet')
         from metrabs_tpu.detect.yolov8 import YOLOv8
         return YOLOv8(size=kind[-1], dtype=dtype)
     raise ValueError(f'Unknown detector kind {kind!r}')

@@ -127,7 +127,8 @@ def add_detector_to_package(
 
 
 def load_crop_model(directory: str, backbone_builder=None,
-                    scan_blocks: Optional[bool] = None):
+                    scan_blocks: Optional[bool] = None,
+                    bn_fold: bool = False):
     """Loads the bare crop model from a package directory.
 
     Returns (model, variables, cfg, joint_info, manifest) for any
@@ -139,7 +140,12 @@ def load_crop_model(directory: str, backbone_builder=None,
     `scan_blocks`: None keeps the packaged layout; False unrolls a
     scanned-layout backbone (converting the stored variables with
     `scan_convert.scanned_to_flat`) — the serving-throughput layout, ~11%
-    faster at L@384 (PROBE_INFER_r04.json) for a longer one-time compile."""
+    faster at L@384 (PROBE_INFER_r04.json) for a longer one-time compile.
+
+    `bn_fold`: fold inference-mode BatchNorm into the conv weights
+    (io/bn_fold.py) — removes every BN op from the serving graph. Exact
+    affine rewrite; supported families only
+    (`io.bn_fold.backbone_supports_bn_fold`)."""
     from metrabs_tpu.models.backbones.builder import build_backbone
 
     with open(os.path.join(directory, 'manifest.json')) as f:
@@ -159,11 +165,17 @@ def load_crop_model(directory: str, backbone_builder=None,
         from metrabs_tpu.io.scan_convert import scanned_to_flat
         variables = scanned_to_flat(variables)
         cfg = dataclasses.replace(cfg, backbone_scan_blocks=False)
+    if bn_fold:
+        from metrabs_tpu.io.bn_fold import bn_epsilon_for, fold_bn_variables
+        variables = fold_bn_variables(
+            variables, epsilon=bn_epsilon_for(cfg.backbone))
+        cfg = dataclasses.replace(cfg, bn_fold=True)
     backbone = (backbone_builder or build_backbone)(
         cfg.backbone, centered_stride=cfg.centered_stride,
         dtype=jnp.dtype(cfg.dtype), scan_blocks=cfg.backbone_scan_blocks,
         stride_test=(cfg.stride_test
-                     if cfg.stride_test != cfg.stride_train else None))
+                     if cfg.stride_test != cfg.stride_train else None),
+        bn_fold=cfg.bn_fold)
 
     model_class = manifest.get('model_class', 'metrabs')
     if model_class == 'metrabs':
@@ -194,18 +206,41 @@ def load_pose_estimator(directory: str, backbone_builder=None,
     throughput) — fields that define the trained model itself (joints,
     strides, backbone) must match the package and cannot be overridden.
 
-    Serving default: a scanned-layout backbone is UNROLLED at load
-    (`scan_blocks=False` + `scanned_to_flat` on the stored variables) —
-    measured ~11% faster on the v5e at L@384 (PROBE_INFER_r04.json;
-    identical math, pinned by tests/test_scan_convert.py) for a longer
-    one-time compile. Opt out with
-    `cfg_overrides={'backbone_scan_blocks': True}` (e.g. on compile-time-
-    sensitive dev backends)."""
+    Serving defaults (both exact, load-time layout transforms):
+     - a scanned-layout backbone is UNROLLED (`scan_blocks=False` +
+       `scanned_to_flat` on the stored variables) — measured ~11% faster on
+       the v5e at L@384 (PROBE_INFER_r04.json; identical math, pinned by
+       tests/test_scan_convert.py) for a longer one-time compile. Opt out
+       with `cfg_overrides={'backbone_scan_blocks': True}` (e.g. on
+       compile-time-sensitive dev backends). Note True means "keep the
+       PACKAGED layout": a flat-layout package stays flat (re-stacking
+       needs a scanned template; a warning is emitted).
+     - inference-mode BatchNorm is FOLDED into the conv weights
+       (io/bn_fold.py) for supported families — removes every backbone BN
+       op from the serving graph (~8% of the L@384 forward,
+       PROBE_INFER_r04 bn_identity). Opt out with
+       `cfg_overrides={'bn_fold': False}`."""
+    import warnings as _warnings
+
     cfg_overrides = dict(cfg_overrides or {})
     scan_blocks = cfg_overrides.pop('backbone_scan_blocks', False)
+    bn_fold = cfg_overrides.pop('bn_fold', None)
+    if bn_fold is None:
+        from metrabs_tpu.io.bn_fold import backbone_supports_bn_fold
+        with open(os.path.join(directory, 'manifest.json')) as f:
+            _backbone = json.load(f)['model_config'].get(
+                'backbone', ModelConfig.backbone)
+        bn_fold = backbone_supports_bn_fold(_backbone)
     model, crop_variables, cfg, joint_info, manifest = load_crop_model(
         directory, backbone_builder,
-        scan_blocks=None if scan_blocks else False)
+        scan_blocks=None if scan_blocks else False, bn_fold=bn_fold)
+    if scan_blocks and not cfg.backbone_scan_blocks:
+        # The opt-out means "keep the packaged layout", and this package is
+        # already flat — say so instead of silently ignoring the request.
+        _warnings.warn(
+            'backbone_scan_blocks=True requested but the package stores the '
+            'flat layout; keeping flat (re-stacking needs a scanned '
+            'template — io.scan_convert.flat_to_scanned)')
     if cfg_overrides:
         import dataclasses as _dc
         protected = {'proc_side', 'depth', 'n_joints', 'backbone',
@@ -236,11 +271,18 @@ def load_pose_estimator(directory: str, backbone_builder=None,
         det_type = manifest.get('detector_type', 'yolov4')
         det_size = manifest.get('detector_input_size') or (
             640 if det_type.startswith('yolov8') else 416)
+        # Same load-time BN fold for the detector (darknet eps 1e-5);
+        # YOLOv4 family only, and governed by the same bn_fold override.
+        det_fold = bn_fold and det_type.startswith('yolov4')
+        if det_fold:
+            from metrabs_tpu.io.bn_fold import fold_bn_variables
+            det_variables = fold_bn_variables(det_variables, epsilon=1e-5)
         detector = PersonDetector(
             build_detector_model(
                 det_type,
                 dtype=jnp.dtype(manifest.get('detector_dtype', 'float32')),
-                scan_repeats=manifest.get('detector_scan_repeats', True)),
+                scan_repeats=manifest.get('detector_scan_repeats', True),
+                bn_fold=det_fold),
             det_variables, input_size=det_size,
             approx_top_k=bool(manifest.get('detector_approx_top_k', False)))
 

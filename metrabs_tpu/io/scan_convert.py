@@ -100,8 +100,11 @@ def scanned_to_flat(variables: Dict) -> Dict:
     flat = flax.traverse_util.flatten_dict(variables)
     out = {}
     for key, value in flat.items():
-        hits = [(j, _SCAN_GROUP.match(part)) for j, part in enumerate(key)
-                if _SCAN_GROUP.match(part)]
+        hits = []
+        for j, part in enumerate(key):
+            m = _SCAN_GROUP.match(part)
+            if m:
+                hits.append((j, m))
         if not hits:
             out[key] = value
             continue
@@ -109,7 +112,7 @@ def scanned_to_flat(variables: Dict) -> Dict:
             raise ValueError(f'Nested scan groups at {key}')
         j, m = hits[0]
         start, n = int(m.group(1)), int(m.group(2))
-        if key[j + 1] != 'block':
+        if j + 1 >= len(key) or key[j + 1] != 'block':
             raise ValueError(f'Scan group {key} lacks the "block" wrapper')
         if value.shape[0] != n:
             raise ValueError(

@@ -26,7 +26,8 @@ def build_backbone(name: str, *, centered_stride: bool = True,
                    ghost_splits: int = 1, dtype: Any = jnp.bfloat16,
                    scan_blocks: bool = True,
                    stride_test: int = None,
-                   remat: bool = False) -> nn.Module:
+                   remat: bool = False,
+                   bn_fold: bool = False) -> nn.Module:
     """`stride_test`: test-time output stride when it differs from training
     (the reference's TrainTestSwitch recipe, `resnet.py:31-32`,
     `docs/TRAINING.md:17-23`). The training stride comes from the name's
@@ -35,8 +36,16 @@ def build_backbone(name: str, *, centered_stride: bool = True,
     `remat`: rematerialize blocks in the backward pass (jax.checkpoint) —
     ~1/3 extra FLOPs for O(1)-per-block activation HBM; use for large
     batch/resolution training. Parameter trees are unchanged.
+
+    `bn_fold`: inference-only serving layout with BatchNorm folded into the
+    convs (io/bn_fold.py); variables must come from `fold_bn_variables`.
+    Supported where `io.bn_fold.backbone_supports_bn_fold` says so.
     """
     name = name.lower().replace('_', '-')
+    if bn_fold:
+        from metrabs_tpu.io.bn_fold import backbone_supports_bn_fold
+        if not backbone_supports_bn_fold(name):
+            raise ValueError(f'bn_fold is not supported for {name!r}')
     if name.startswith('efficientnetv2'):
         model_name_test = None
         if stride_test is not None:
@@ -59,7 +68,8 @@ def build_backbone(name: str, *, centered_stride: bool = True,
         return EfficientNetV2(
             model_name=name, model_name_test=model_name_test,
             centered_stride=centered_stride, ghost_splits=ghost_splits,
-            dtype=dtype, scan_blocks=scan_blocks, remat=remat)
+            dtype=dtype, scan_blocks=scan_blocks, remat=remat,
+            bn_fold=bn_fold)
     if name.startswith('resnet'):
         m = re.match(
             r'resnet(\d+)(v1-5|v2)?(-groupnorm)?(?:-stride(\d+))?$', name)
@@ -77,7 +87,8 @@ def build_backbone(name: str, *, centered_stride: bool = True,
             depth=depth, variant=variant, output_stride=output_stride,
             output_stride_test=stride_test,
             centered_stride=centered_stride, ghost_splits=ghost_splits,
-            dtype=dtype, use_group_norm=bool(m.group(3)), remat=remat)
+            dtype=dtype, use_group_norm=bool(m.group(3)), remat=remat,
+            bn_fold=bn_fold)
     if stride_test is not None:
         raise ValueError(
             f'stride_test is only supported for resnet/efficientnetv2 '
@@ -89,7 +100,7 @@ def build_backbone(name: str, *, centered_stride: bool = True,
         return MobileNetV3(
             model_type=m.group(1), minimalistic=bool(m.group(2)),
             centered_stride=centered_stride, ghost_splits=ghost_splits,
-            dtype=dtype, remat=remat)
+            dtype=dtype, remat=remat, bn_fold=bn_fold)
     if name.startswith('tiny'):
         return TinyBackbone(dtype=dtype)
     raise ValueError(f'No backbone builder found for {name!r}')

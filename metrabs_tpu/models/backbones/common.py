@@ -60,6 +60,12 @@ class GhostBatchNorm(nn.Module):
     epsilon: float = 1e-3
     splits: int = 1
     dtype: Any = jnp.bfloat16
+    # Compute batch statistics in the COMPUTE dtype (bf16) instead of
+    # flax's default f32 reduction (force_float32_reductions). Training-MFU
+    # lever (VERDICT r4 #6b): the f32 upcasts of every activation tensor
+    # feeding the BN reduces are pure HBM traffic on this conv workload.
+    # Running averages stay f32 either way. Identical variable tree.
+    bf16_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -80,11 +86,12 @@ class GhostBatchNorm(nn.Module):
                 v['batch_stats']['var'] + self.epsilon)
             bias = v['params']['bias'] - v['batch_stats']['mean'] * scale
             return scale, bias
+        f32_red = not self.bf16_stats
         if not train or self.splits <= 1:
             return nn.BatchNorm(
                 use_running_average=not train, momentum=self.momentum,
                 epsilon=self.epsilon, dtype=self.dtype, param_dtype=jnp.float32,
-                name='bn')(x)
+                force_float32_reductions=f32_red, name='bn')(x)
         n = x.shape[0]
         g = self.splits
         if n % g != 0:
@@ -93,7 +100,7 @@ class GhostBatchNorm(nn.Module):
         bn = nn.BatchNorm(
             use_running_average=False, momentum=self.momentum,
             epsilon=self.epsilon, dtype=self.dtype, param_dtype=jnp.float32,
-            name='bn')
+            force_float32_reductions=f32_red, name='bn')
         # The (static, small) number of splits is unrolled; each split updates
         # the shared running stats in turn, like the reference's fleras layer.
         parts = [bn(xs[i]) for i in range(g)]
@@ -101,10 +108,10 @@ class GhostBatchNorm(nn.Module):
 
 
 def batch_norm(momentum: float, epsilon: float, dtype, name: str,
-               ghost_splits: int = 1):
+               ghost_splits: int = 1, bf16_stats: bool = False):
     return GhostBatchNorm(
         momentum=momentum, epsilon=epsilon, splits=ghost_splits, dtype=dtype,
-        name=name)
+        bf16_stats=bf16_stats, name=name)
 
 
 class GroupNormCompat(nn.Module):

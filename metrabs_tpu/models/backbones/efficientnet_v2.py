@@ -223,17 +223,28 @@ class MBConv(nn.Module):
     # (ops/mbconv_pallas.py) at inference. 'auto' = on TPU only. The
     # parameter tree is identical either way.
     fuse: str = 'off'
+    # Inference-only folded-BN layout (io/bn_fold.py): convs carry a bias,
+    # BN modules are skipped entirely. Variables must come from
+    # fold_bn_variables.
+    bn_fold: bool = False
+    # Batch statistics in bf16 (training-MFU lever; common.GhostBatchNorm).
+    bn_bf16_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, survival_prob=1.0,
                  train: bool = False) -> jnp.ndarray:
         a = self.args
         inputs = x
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         filters = a.input_filters * a.expand_ratio
         bn = lambda name: common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits,
+            bf16_stats=self.bn_bf16_stats)
+        norm = (lambda name, h: h if self.bn_fold else bn(name)(h, train))
         use_fused = (
-            not train and a.expand_ratio != 1 and a.kernel_size == 3
+            not train and not self.bn_fold
+            and a.expand_ratio != 1 and a.kernel_size == 3
             and a.strides == 1 and a.dilation_in == 1
             and not a.bottomright_stride
             and (self.fuse in ('on', 'interpret')
@@ -260,9 +271,10 @@ class MBConv(nn.Module):
                                   name='se')(x, se_mean[:, None, None, :])
         else:
             if a.expand_ratio != 1:
-                x = nn.Conv(filters, (1, 1), use_bias=False, dtype=self.dtype,
+                x = nn.Conv(filters, (1, 1), use_bias=self.bn_fold,
+                            dtype=self.dtype,
                             param_dtype=jnp.float32, name='expand_conv')(x)
-                x = nn.silu(bn('norm0')(x, train))
+                x = nn.silu(norm('norm0', x))
             shift = 1 if a.bottomright_stride else 0
             pads = common.fixed_padding_amounts(a.kernel_size, a.dilation_in, shift)
             x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
@@ -270,15 +282,17 @@ class MBConv(nn.Module):
                 filters, (a.kernel_size, a.kernel_size),
                 strides=(a.strides, a.strides),
                 kernel_dilation=(a.dilation_in, a.dilation_in),
-                feature_group_count=filters, padding='VALID', use_bias=False,
+                feature_group_count=filters, padding='VALID',
+                use_bias=self.bn_fold,
                 dtype=self.dtype, param_dtype=jnp.float32, name='depthwise_conv')(x)
-            x = nn.silu(bn('norm1')(x, train))
+            x = nn.silu(norm('norm1', x))
             if a.se_ratio:
                 se_filters = max(1, int(a.input_filters * a.se_ratio))
                 x = SqueezeExcite(se_filters, filters, dtype=self.dtype, name='se')(x)
-        x = nn.Conv(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(a.output_filters, (1, 1), use_bias=self.bn_fold,
+                    dtype=self.dtype,
                     param_dtype=jnp.float32, name='project_conv')(x)
-        x = bn('norm2')(x, train)
+        x = norm('norm2', x)
         if a.strides == 1 and a.input_filters == a.output_filters:
             rng = self.make_rng('dropout') if train else None
             x = common.stochastic_depth(inputs, x, survival_prob, train, rng)
@@ -289,15 +303,23 @@ class FusedMBConv(nn.Module):
     args: BlockArgs
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
+    # Inference-only folded-BN layout (io/bn_fold.py); see MBConv.
+    bn_fold: bool = False
+    # Batch statistics in bf16 (training-MFU lever; common.GhostBatchNorm).
+    bn_bf16_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, survival_prob=1.0,
                  train: bool = False) -> jnp.ndarray:
         a = self.args
         inputs = x
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         filters = a.input_filters * a.expand_ratio
         bn = lambda name: common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+            BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits,
+            bf16_stats=self.bn_bf16_stats)
+        norm = (lambda name, h: h if self.bn_fold else bn(name)(h, train))
         shift = 1 if a.bottomright_stride else 0
         pads = common.fixed_padding_amounts(a.kernel_size, a.dilation_in, shift)
         if a.expand_ratio != 1:
@@ -306,9 +328,9 @@ class FusedMBConv(nn.Module):
                 filters, (a.kernel_size, a.kernel_size),
                 strides=(a.strides, a.strides),
                 kernel_dilation=(a.dilation_in, a.dilation_in),
-                padding='VALID', use_bias=False, dtype=self.dtype,
+                padding='VALID', use_bias=self.bn_fold, dtype=self.dtype,
                 param_dtype=jnp.float32, name='expand_conv')(x)
-            x = nn.silu(bn('norm0')(x, train))
+            x = nn.silu(norm('norm0', x))
         if a.se_ratio:
             se_filters = max(1, int(a.input_filters * a.se_ratio))
             x = SqueezeExcite(se_filters, filters, dtype=self.dtype, name='se')(x)
@@ -320,9 +342,9 @@ class FusedMBConv(nn.Module):
             strides=(1, 1) if a.expand_ratio != 1 else (a.strides, a.strides),
             kernel_dilation=((1, 1) if a.expand_ratio != 1
                              else (a.dilation_in, a.dilation_in)),
-            padding='VALID', use_bias=False, dtype=self.dtype,
+            padding='VALID', use_bias=self.bn_fold, dtype=self.dtype,
             param_dtype=jnp.float32, name='project_conv')(x)
-        x = bn('norm1')(x, train)
+        x = norm('norm1', x)
         if a.expand_ratio == 1:
             x = nn.silu(x)
         if a.strides == 1 and a.input_filters == a.output_filters:
@@ -338,13 +360,16 @@ class _ScanBody(nn.Module):
     dtype: Any
     train: bool
     fuse: str = 'off'
+    bn_fold: bool = False
+    bn_bf16_stats: bool = False
 
     @nn.compact
     def __call__(self, carry, survival_prob):
         cls = FusedMBConv if self.args.conv_type == 1 else MBConv
         kw = {} if self.args.conv_type == 1 else dict(fuse=self.fuse)
         y = cls(args=self.args, ghost_splits=self.ghost_splits,
-                dtype=self.dtype, name='block', **kw)(
+                dtype=self.dtype, name='block', bn_fold=self.bn_fold,
+                bn_bf16_stats=self.bn_bf16_stats, **kw)(
             carry, survival_prob, train=self.train)
         return y, None
 
@@ -388,9 +413,18 @@ class EfficientNetV2(nn.Module):
     # so the policy lever that actually exists on this workload is WHERE
     # remat stops. 10_000 = everywhere (the default full-block remat).
     remat_until_block: int = 10_000
+    # Inference-only folded-BN serving layout (io/bn_fold.py): every conv
+    # carries a bias, no BN modules. Variables from fold_bn_variables.
+    bn_fold: bool = False
+    # Training-MFU lever: compute BN batch statistics in bf16 instead of
+    # flax's f32 reductions (common.GhostBatchNorm.bf16_stats). Identical
+    # variable tree; accuracy bound in tests/test_bn_bf16_stats.py.
+    bn_bf16_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         plan = (self.model_name if train or not self.model_name_test
                 else self.model_name_test)
         blocks = expand_blocks(plan)
@@ -406,11 +440,12 @@ class EfficientNetV2(nn.Module):
         pads = common.fixed_padding_amounts(3)
         h = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
         h = nn.Conv(blocks[0].input_filters, (3, 3), strides=(2, 2),
-                    padding='VALID', use_bias=False, dtype=self.dtype,
+                    padding='VALID', use_bias=self.bn_fold, dtype=self.dtype,
                     param_dtype=jnp.float32, name='stem_conv')(h)
-        h = common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, 'stem_bn', self.ghost_splits)(
-            h, train)
+        if not self.bn_fold:
+            h = common.batch_norm(
+                BN_MOMENTUM, BN_EPSILON, self.dtype, 'stem_bn',
+                self.ghost_splits, bf16_stats=self.bn_bf16_stats)(h, train)
         h = nn.silu(h)
 
         n_blocks = len(blocks)
@@ -418,7 +453,10 @@ class EfficientNetV2(nn.Module):
         survival = [1.0 - drop_rate * float(i) / n_blocks for i in range(n_blocks)]
 
         def fuse_kw(args):
-            return {} if args.conv_type == 1 else dict(fuse=self.fuse_mbconv)
+            kw = {} if args.conv_type == 1 else dict(fuse=self.fuse_mbconv)
+            kw['bn_fold'] = self.bn_fold
+            kw['bn_bf16_stats'] = self.bn_bf16_stats
+            return kw
 
         def block_for(args, idx):
             cls = FusedMBConv if args.conv_type == 1 else MBConv
@@ -472,7 +510,8 @@ class EfficientNetV2(nn.Module):
                         metadata_params={nn.PARTITION_NAME: None})(
                         args=rest_args, ghost_splits=self.ghost_splits,
                         dtype=self.dtype, train=train,
-                        fuse=self.fuse_mbconv,
+                        fuse=self.fuse_mbconv, bn_fold=self.bn_fold,
+                        bn_bf16_stats=self.bn_bf16_stats,
                         name=f'blocks_{idx}_scan{n_rest}')
                     h, _ = scanned(h, sp)
                     idx += n_rest
@@ -485,9 +524,11 @@ class EfficientNetV2(nn.Module):
                     idx += 1
 
         # Head: 1x1 conv to feature_size (`effnetv2_model.py:469-532`).
-        h = nn.Conv(self.feature_size, (1, 1), use_bias=False, dtype=self.dtype,
+        h = nn.Conv(self.feature_size, (1, 1), use_bias=self.bn_fold,
+                    dtype=self.dtype,
                     param_dtype=jnp.float32, name='head_conv')(h)
-        h = common.batch_norm(
-            BN_MOMENTUM, BN_EPSILON, self.dtype, 'head_bn', self.ghost_splits)(
-            h, train)
+        if not self.bn_fold:
+            h = common.batch_norm(
+                BN_MOMENTUM, BN_EPSILON, self.dtype, 'head_bn',
+                self.ghost_splits, bf16_stats=self.bn_bf16_stats)(h, train)
         return nn.silu(h)

@@ -69,17 +69,24 @@ class InvertedResBlock(nn.Module):
     bottomright_stride: bool = False
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
+    # Inference-only folded-BN layout (io/bn_fold.py): convs carry a bias,
+    # BN modules are skipped. Variables from fold_bn_variables.
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         shortcut = x
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         infilters = x.shape[-1]
         bn = lambda name: common.batch_norm(
             BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
+        norm = (lambda name, h: h if self.bn_fold else bn(name)(h, train))
         if self.block_id:
-            x = nn.Conv(_depth(infilters * self.expansion), (1, 1), use_bias=False,
+            x = nn.Conv(_depth(infilters * self.expansion), (1, 1),
+                        use_bias=self.bn_fold,
                         dtype=self.dtype, param_dtype=jnp.float32, name='expand')(x)
-            x = self.activation(bn('expand_bn')(x, train))
+            x = self.activation(norm('expand_bn', x))
         expanded = x.shape[-1]
 
         if self.stride == 2:
@@ -91,17 +98,18 @@ class InvertedResBlock(nn.Module):
             padding = 'SAME'
         x = nn.Conv(expanded, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=padding,
-                    feature_group_count=expanded, use_bias=False,
+                    feature_group_count=expanded, use_bias=self.bn_fold,
                     dtype=self.dtype, param_dtype=jnp.float32, name='depthwise')(x)
-        x = self.activation(bn('depthwise_bn')(x, train))
+        x = self.activation(norm('depthwise_bn', x))
 
         if self.se_ratio:
             x = SEBlock(expanded, self.se_ratio, dtype=self.dtype,
                         name='squeeze_excite')(x)
 
-        x = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(self.filters, (1, 1), use_bias=self.bn_fold,
+                    dtype=self.dtype,
                     param_dtype=jnp.float32, name='project')(x)
-        x = bn('project_bn')(x, train)
+        x = norm('project_bn', x)
 
         if self.stride == 1 and infilters == self.filters:
             x = shortcut + x
@@ -161,9 +169,13 @@ class MobileNetV3(nn.Module):
     # ~1/3 extra FLOPs for O(1)-per-block activation memory. Identical
     # parameter tree.
     remat: bool = False
+    # Inference-only folded-BN serving layout (io/bn_fold.py).
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only layout')
         if self.minimalistic:
             kernel, act, se = 3, nn.relu, None
         else:
@@ -175,10 +187,12 @@ class MobileNetV3(nn.Module):
         bn = lambda name: common.batch_norm(
             BN_MOMENTUM, BN_EPSILON, self.dtype, name, self.ghost_splits)
 
+        norm = (lambda name, h: h if self.bn_fold else bn(name)(h, train))
         x = common.mobilenet_preproc(x.astype(self.dtype))
-        x = nn.Conv(16, (3, 3), strides=(2, 2), padding='SAME', use_bias=False,
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding='SAME',
+                    use_bias=self.bn_fold,
                     dtype=self.dtype, param_dtype=jnp.float32, name='stem_conv')(x)
-        x = act(bn('stem_bn')(x, train))
+        x = act(norm('stem_bn', x))
 
         stack = (_small_stack if self.model_type == 'small' else _large_stack)(
             depth, kernel, act, se)
@@ -195,15 +209,17 @@ class MobileNetV3(nn.Module):
                 se_ratio=se_r, activation=a, block_id=i,
                 bottomright_stride=final_s2 and self.centered_stride,
                 ghost_splits=self.ghost_splits, dtype=self.dtype,
+                bn_fold=self.bn_fold,
                 name=f'block_{i}')(x, train)
 
         last_conv_ch = _depth(x.shape[-1] * 6)
         last_point_ch = 1024 if self.model_type == 'small' else 1280
         if self.alpha > 1.0:
             last_point_ch = _depth(last_point_ch * self.alpha)
-        x = nn.Conv(last_conv_ch, (1, 1), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(last_conv_ch, (1, 1), use_bias=self.bn_fold,
+                    dtype=self.dtype,
                     param_dtype=jnp.float32, name='conv_1')(x)
-        x = act(bn('conv_1_bn')(x, train))
+        x = act(norm('conv_1_bn', x))
         x = nn.Conv(last_point_ch, (1, 1), use_bias=True, dtype=self.dtype,
                     param_dtype=jnp.float32, name='conv_2')(x)
         return act(x)

@@ -109,16 +109,20 @@ class BottleneckBlock(nn.Module):
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
     use_group_norm: bool = False
+    # Inference-only folded-BN layout (io/bn_fold.py): BN skipped, its
+    # affine folded into the (already-biased) convs' weights.
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         bn = _norm_factory(self.use_group_norm, self.dtype, self.ghost_splits)
+        norm = (lambda name, h: h if self.bn_fold else bn(name)(h, train))
         bias = not self.use_group_norm
         if self.conv_shortcut:
             shortcut = DenseSameConv(
                 4 * self.filters, 1, stride=self.stride, use_bias=bias,
                 bottomright=self.bottomright, dtype=self.dtype, name='conv0')(x)
-            shortcut = bn('bn0')(shortcut, train)
+            shortcut = norm('bn0', shortcut)
         else:
             shortcut = x
 
@@ -129,7 +133,7 @@ class BottleneckBlock(nn.Module):
             h = DenseSameConv(
                 self.filters, 1, stride=self.stride, bottomright=self.bottomright,
                 use_bias=bias, dtype=self.dtype, name='conv1')(x)
-        h = nn.relu(bn('bn1')(h, train))
+        h = nn.relu(norm('bn1', h))
 
         if self.v1_5:
             h = DenseSameConv(
@@ -140,11 +144,11 @@ class BottleneckBlock(nn.Module):
             h = DenseSameConv(
                 self.filters, 3, stride=1, dilation=self.dilation,
                 use_bias=bias, dtype=self.dtype, name='conv2')(h)
-        h = nn.relu(bn('bn2')(h, train))
+        h = nn.relu(norm('bn2', h))
 
         h = nn.Conv(4 * self.filters, (1, 1), use_bias=bias, dtype=self.dtype,
                     param_dtype=jnp.float32, name='conv3')(h)
-        h = bn('bn3')(h, train)
+        h = norm('bn3', h)
         return nn.relu(shortcut + h)
 
 
@@ -168,28 +172,33 @@ class BasicBlock(nn.Module):
     ghost_splits: int = 1
     dtype: Any = jnp.bfloat16
     use_group_norm: bool = False
+    # Inference-only folded-BN layout (io/bn_fold.py): convs gain a bias,
+    # BN modules are skipped.
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         bn = _norm_factory(self.use_group_norm, self.dtype, self.ghost_splits)
+        norm = (lambda name, h: h if self.bn_fold else bn(name)(h, train))
         if self.conv_shortcut:
             shortcut = DenseSameConv(
                 self.filters, 1, stride=self.stride, bottomright=self.bottomright,
-                use_bias=False, dtype=self.dtype, name='conv0')(x)
-            shortcut = bn('bn0')(shortcut, train)
+                use_bias=self.bn_fold, dtype=self.dtype, name='conv0')(x)
+            shortcut = norm('bn0', shortcut)
         else:
             shortcut = x
         h = DenseSameConv(
             self.filters, 3, stride=self.stride, dilation=self.dilation,
-            bottomright=self.bottomright, use_bias=False, dtype=self.dtype,
+            bottomright=self.bottomright, use_bias=self.bn_fold,
+            dtype=self.dtype,
             name='conv1')(x)
-        h = nn.relu(bn('bn1')(h, train))
+        h = nn.relu(norm('bn1', h))
         h = DenseSameConv(
             self.filters, 3, stride=1,
             dilation=(self.dilation2 if self.dilation2 is not None
                       else self.dilation),
-            use_bias=False, dtype=self.dtype, name='conv2')(h)
-        h = bn('bn2')(h, train)
+            use_bias=self.bn_fold, dtype=self.dtype, name='conv2')(h)
+        h = norm('bn2', h)
         return nn.relu(shortcut + h)
 
 
@@ -262,12 +271,19 @@ class ResNet(nn.Module):
     # (jax.checkpoint): ~1/3 extra FLOPs for O(1)-per-block activation
     # memory. Identical parameter tree.
     remat: bool = False
+    # Inference-only folded-BN serving layout (io/bn_fold.py). V1/V1.5 and
+    # basic blocks only — V2's pre-activation BNs sit behind a relu and
+    # cannot fold; GroupNorm statistics are data-dependent.
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         basic = self.depth in (18, 34)
         v2 = self.variant == 'v2' and not basic
         v1_5 = self.variant == 'v1_5' and not basic
+        if self.bn_fold and (train or v2 or self.use_group_norm):
+            raise ValueError('bn_fold is inference-only and supports '
+                             'V1/V1.5/basic BatchNorm ResNets only')
         counts = BLOCK_COUNTS[self.depth]
         output_stride = (self.output_stride if train or not self.output_stride_test
                          else self.output_stride_test)
@@ -298,11 +314,15 @@ class ResNet(nn.Module):
         # Stem: pad (3,3) + 7x7 s2 VALID + (pad (1,1) + maxpool 3 s2).
         h = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding='VALID',
-                    use_bias=not basic and not self.use_group_norm,
+                    use_bias=((not basic and not self.use_group_norm)
+                              or self.bn_fold),
                     dtype=self.dtype,
                     param_dtype=jnp.float32, name='stem_conv')(h)
         if not v2:
-            h = nn.relu(bn('stem_bn')(h, train))
+            if not self.bn_fold:
+                h = nn.relu(bn('stem_bn')(h, train))
+            else:
+                h = nn.relu(h)
         # Bottom-right maxpool shift: TEST-graph-only and gated on the test
         # stride alone (`resnet.py:186-193,666`: bottomright_maxpool_test =
         # stride_test == 4 inside a TrainTestSwitchLayer whose train branch
@@ -348,6 +368,7 @@ class ResNet(nn.Module):
                         conv_shortcut=conv_short,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
                         use_group_norm=self.use_group_norm,
+                        bn_fold=self.bn_fold,
                         name=f'stage{si}_block{b}')(h, train)
         elif v2:
             for si, (filters, blocks) in enumerate(zip(stage_filters, counts)):
@@ -383,5 +404,6 @@ class ResNet(nn.Module):
                         bottomright=br, conv_shortcut=first, v1_5=v1_5,
                         ghost_splits=self.ghost_splits, dtype=self.dtype,
                         use_group_norm=self.use_group_norm,
+                        bn_fold=self.bn_fold,
                         name=f'stage{si}_block{b}')(h, train)
         return h

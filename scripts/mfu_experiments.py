@@ -100,11 +100,14 @@ def main():
     res, n = args.res, args.batch
     is_effnet = args.backbone.startswith('efficientnetv2')
 
-    def make_backbone(remat, remat_until=10_000):
+    def make_backbone(remat, remat_until=10_000, bn_bf16_stats=False):
         if is_effnet:
             return EfficientNetV2(
                 model_name=args.backbone, dtype=jnp.bfloat16,
-                scan_blocks=True, remat=remat, remat_until_block=remat_until)
+                scan_blocks=True, remat=remat, remat_until_block=remat_until,
+                bn_bf16_stats=bn_bf16_stats)
+        if bn_bf16_stats:
+            raise ValueError('bn_bf16_stats variant is wired for EffNetV2')
         return build_backbone(args.backbone, dtype=jnp.bfloat16, remat=remat)
 
     # EffNetV2-L stage boundaries (cumulative blocks: 4,11,18,28,47,72,79).
@@ -116,6 +119,15 @@ def main():
         'remat_first47': dict(remat=True, remat_until=47),
         'mu_bf16': dict(remat=True, mu_dtype='bfloat16'),
         'remat_first28_mu_bf16': dict(remat=True, remat_until=28,
+                                      mu_dtype='bfloat16'),
+        # r5 lever (VERDICT r4 #6b): BN batch statistics reduced in bf16
+        # instead of flax's f32-upcast reductions — targets the
+        # "BN-stats converts" slice of the r4 roofline
+        # (scripts/profile_trace_train.py: 59% of the step is
+        # O(1)-intensity HBM traffic). Accuracy bound:
+        # tests/test_bn_bf16_stats.py.
+        'bn_stats_bf16': dict(remat=True, bn_bf16_stats=True),
+        'bn_stats_bf16_mu_bf16': dict(remat=True, bn_bf16_stats=True,
                                       mu_dtype='bfloat16'),
     }
     names = args.variants or list(VARIANTS)
@@ -150,7 +162,8 @@ def main():
             training_steps=400_000,
             optimizer_mu_dtype=variant.get('mu_dtype', ''))
         model = Metrabs(cfg=cfg, backbone=make_backbone(
-            variant.get('remat', True), variant.get('remat_until', 10_000)))
+            variant.get('remat', True), variant.get('remat_until', 10_000),
+            variant.get('bn_bf16_stats', False)))
         tx = optim.build_optimizer(tcfg)
         step_fn = loop_mod.make_train_step(
             model, tx, H36M_17, LSP_14, cfg, tcfg)

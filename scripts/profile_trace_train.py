@@ -30,6 +30,11 @@ def main():
                         help='per-stream batch (the step runs batch+batch)')
     parser.add_argument('--iters', type=int, default=3)
     parser.add_argument('--no-remat', action='store_true')
+    parser.add_argument('--bn-bf16-stats', action='store_true',
+                        help='BN batch statistics in bf16 (the r5 MFU '
+                             'lever; EffNetV2 only) - compare the convert/'
+                             'elementwise category share against the '
+                             'default f32-reduction trace')
     parser.add_argument('--platform', default='',
                         help="'' keeps the default (TPU if attached); the "
                              "JAX_PLATFORMS env var is ignored under the "
@@ -57,8 +62,16 @@ def main():
     cfg = ModelConfig(proc_side=res, depth=8, n_joints=17, dtype='bfloat16',
                       backbone=args.backbone,
                       backbone_remat=not args.no_remat)
-    model = Metrabs(cfg=cfg, backbone=build_backbone(
-        args.backbone, dtype=jnp.bfloat16, remat=not args.no_remat))
+    if args.bn_bf16_stats:
+        from metrabs_tpu.models.backbones.efficientnet_v2 import \
+            EfficientNetV2
+        backbone = EfficientNetV2(
+            model_name=args.backbone, dtype=jnp.bfloat16,
+            remat=not args.no_remat, bn_bf16_stats=True)
+    else:
+        backbone = build_backbone(
+            args.backbone, dtype=jnp.bfloat16, remat=not args.no_remat)
+    model = Metrabs(cfg=cfg, backbone=backbone)
     tcfg = TrainConfig(training_steps=400_000)
     tx = optim.build_optimizer(tcfg)
     step_fn = loop_mod.make_train_step(model, tx, H36M_17, LSP_14, cfg, tcfg)

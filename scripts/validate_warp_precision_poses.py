@@ -35,7 +35,7 @@ def main():
     p.add_argument('--val', default='/root/repo/runs/train2serve/ds3d_val.pkl')
     p.add_argument('--num-aug', type=int, default=2)
     p.add_argument('--platform', default='')
-    p.add_argument('--out', default='/root/repo/WARP_PRECISION_POSES_r04.json')
+    p.add_argument('--out', default='/root/repo/WARP_PRECISION_POSES_r05.json')
     args = p.parse_args()
 
     import jax
@@ -115,9 +115,46 @@ def main():
         print(f'{mode}: max|d| {results[mode]["max_delta_vs_bf16x3_mm"]}mm '
               f'mean {results[mode]["mean_delta_vs_bf16x3_mm"]}mm', flush=True)
 
+    # r5 (VERDICT r4 #7): pose deltas of the OTHER serving-stack shortcuts
+    # on the same trained weights — load-time BN folding (exact affine
+    # rewrite, expect bf16-noise-level deltas) and the scanned-vs-unrolled
+    # block layout (identical math, expect ~0) — both vs the serving
+    # default (bn_fold ON, unrolled, warp 'high').
+    layouts = {
+        'serving_default': {},
+        'bn_fold_off': {'bn_fold': False},
+        'scanned_layout': {'backbone_scan_blocks': True},
+    }
+    layout_results = {}
+    base = None
+    for lname, overrides in layouts.items():
+        t0 = time.time()
+        est = load_pose_estimator(args.package, cfg_overrides=overrides)
+        out = est.estimate_poses_batched(
+            images, boxes, intrinsic_matrix=intr, num_aug=args.num_aug)
+        poses = np.asarray(out['poses3d'])
+        if base is None:
+            base = poses
+        errs = []
+        for i in range(n_frames):
+            for k in range(max_people):
+                if not valid_gt[i, k]:
+                    continue
+                rr = ((poses[i, k] - poses[i, k, :1])
+                      - (gt[i, k] - gt[i, k, :1]))
+                errs.append(np.linalg.norm(rr, axis=-1).mean())
+        delta = np.linalg.norm(poses - base, axis=-1)[valid_gt]
+        layout_results[lname] = dict(
+            mpjpe_mm=round(float(np.mean(errs)), 3),
+            max_delta_vs_default_mm=round(float(delta.max()), 4),
+            mean_delta_vs_default_mm=round(float(delta.mean()), 4),
+            wall_s=round(time.time() - t0, 1))
+        print(f'layout {lname}: {layout_results[lname]}', flush=True)
+
     with open(args.out, 'w') as f:
         json.dump(dict(package=args.package, num_aug=args.num_aug,
-                       n_people=int(valid_gt.sum()), modes=results), f,
+                       n_people=int(valid_gt.sum()), modes=results,
+                       layouts=layout_results), f,
                   indent=1)
     print(f'wrote {args.out}')
 

@@ -8,6 +8,9 @@ import pytest
 
 from metrabs_tpu.utils import cdf as cdf_mod
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 
 class TestCdf:
 

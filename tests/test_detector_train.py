@@ -14,6 +14,9 @@ from metrabs_tpu.detect.train import (
     make_detector_train_step)
 from metrabs_tpu.detect.yolov4 import ANCHORS_TINY, STRIDES_TINY
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 
 def test_build_targets_assignment():
     input_size = 416

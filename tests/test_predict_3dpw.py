@@ -11,6 +11,9 @@ from metrabs_tpu.apps import predict_3dpw
 from metrabs_tpu.eval.association import pose_to_mask
 from metrabs_tpu.pipeline.skeletons import SMPL_24
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 N_FRAMES = 3
 H, W = 128, 160
 

@@ -12,6 +12,9 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 H, W = 96, 128
 
 

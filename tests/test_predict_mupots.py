@@ -9,6 +9,11 @@ import scipy.io
 
 from metrabs_tpu.apps import predict_mupots
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 N_FRAMES = 3
 H, W = 96, 128
 

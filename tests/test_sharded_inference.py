@@ -11,6 +11,11 @@ from metrabs_tpu.parallel import mesh as mesh_mod
 from metrabs_tpu.pipeline.estimator import PoseEstimator
 from metrabs_tpu.pipeline.skeletons import H36M_17
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 CFG = ModelConfig(proc_side=64, stride_train=32, stride_test=32, depth=4,
                   n_joints=17, dtype='float32')
 

@@ -8,6 +8,9 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 
 def _write_datasets(tmp_path, rng, n=8):
     from metrabs_tpu.data.camera import Camera

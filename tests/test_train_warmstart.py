@@ -8,6 +8,9 @@ import pytest
 
 from metrabs_tpu.config import AugConfig, ModelConfig, TrainConfig
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles; smoke tier = -m 'not oracle and not slow'
+
+
 
 def test_project_kernel_norms():
     from metrabs_tpu.train.optim import project_kernel_norms
