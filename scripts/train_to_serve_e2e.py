@@ -190,6 +190,12 @@ def main():
                    help="'' keeps the default (TPU if attached)")
     p.add_argument('--backbone', default='efficientnetv2-s',
                    help="'tiny' for the CPU smoke config")
+    p.add_argument('--finetune-inference-mode', type=int, default=0,
+                   help='freeze BN to inference mode for the final N steps '
+                        '(the reference SwitchToInferenceModeCallback, '
+                        '`main.py:131-134`) — needed for MobileNetV3, whose '
+                        '0.999 BN momentum leaves running stats lagging the '
+                        'weights at these step counts')
     p.add_argument('--batch-size', type=int, default=16)
     p.add_argument('--det-batch', type=int, default=8)
     p.add_argument('--out', default='/root/repo/runs/train2serve')
@@ -277,6 +283,8 @@ def main():
             '--checkpoint-period', str(min(max(args.steps // 3, 1), 500)),
             '--log-period', '50',
             '--absloss-start-step', str(args.absloss_start_step),
+            '--finetune-in-inference-mode',
+            str(args.finetune_inference_mode),
             '--ds3d-val', val_path,
             '--validate-period', str(max(args.steps // 5, 1)),
             '--batch-size-test', '32',

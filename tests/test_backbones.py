@@ -7,6 +7,9 @@ import pytest
 
 from metrabs_tpu.models.backbones.builder import build_backbone
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles (fast-tier durations r5); smoke tier = -m 'not oracle and not slow'
+
+
 
 def _init_and_run(name, size=64, train=False):
     bb = build_backbone(name, dtype=jnp.float32)

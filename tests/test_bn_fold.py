@@ -46,7 +46,8 @@ def _randomize_bn_stats(variables, rng):
     # DenseSameConv nesting) for fast transform coverage.
     pytest.param('efficientnetv2-s', True, marks=pytest.mark.slow),
     pytest.param('efficientnetv2-s', False, marks=pytest.mark.slow),
-    ('mobilenetv3-small', False),
+    pytest.param('mobilenetv3-small', False,
+                 marks=pytest.mark.slow),
     ('resnet18', False),
     pytest.param('resnet50', False, marks=pytest.mark.slow),
     pytest.param('resnet50v1-5', False, marks=pytest.mark.slow),
@@ -80,6 +81,7 @@ def test_fold_matches_unfolded_forward(name, scan):
         assert 'bn' not in key, key
 
 
+@pytest.mark.slow
 def test_fold_rejects_preact_resnet_v2():
     model = build_backbone('resnet50v2', dtype=jnp.float32)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -99,6 +101,7 @@ def test_fold_is_inference_only():
         model.init(jax.random.PRNGKey(0), x, train=True)
 
 
+@pytest.mark.slow
 def test_fold_matches_unfolded_detector():
     """Darknet ConvBlock declares a bare nn.BatchNorm named 'bn' (no
     GhostBatchNorm wrapper) — the resolver's case (b)."""
@@ -131,6 +134,7 @@ def test_supported_families():
     assert not backbone_supports_bn_fold('tiny')
 
 
+@pytest.mark.slow
 def test_packaged_estimator_folds_by_default(tmp_path):
     """load_pose_estimator applies the fold for supported families; poses
     must match the unfolded estimator at f32."""

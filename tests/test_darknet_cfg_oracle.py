@@ -254,6 +254,7 @@ def tiny_weight_file(tmp_path_factory):
     return str(path), data
 
 
+@pytest.mark.slow
 def test_yolov4_tiny_matches_independent_darknet_interpreter(tiny_weight_file):
     """Full-net numeric anchor: flax YOLOv4Tiny + load_darknet_weights vs the
     from-scratch numpy cfg interpreter on the same weight file."""
@@ -282,6 +283,7 @@ def test_yolov4_tiny_matches_independent_darknet_interpreter(tiny_weight_file):
         np.asarray(mbbox)[0], want_mbbox, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_weight_file_is_fully_consumed(tiny_weight_file):
     """Both readers must agree the file has zero trailing floats — a
     mis-sized section anywhere would desynchronize every later layer."""

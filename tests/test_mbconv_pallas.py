@@ -13,6 +13,9 @@ import pytest
 
 from metrabs_tpu.ops import mbconv_pallas
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles (fast-tier durations r5); smoke tier = -m 'not oracle and not slow'
+
+
 
 def _oracle(u, w, s0, b0, s1, b1):
     cdt = u.dtype

@@ -18,6 +18,9 @@ import pytest
 from metrabs_tpu.io import tf_checkpoint as tc
 from metrabs_tpu.io import weights_import as wi
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles (fast-tier durations r5); smoke tier = -m 'not oracle and not slow'
+
+
 
 class TestBundleFormat:
 

@@ -12,6 +12,9 @@ import pytest
 from metrabs_tpu.io import weights_import
 from metrabs_tpu.models.backbones.efficientnet_v2 import EfficientNetV2, expand_blocks
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles (fast-tier durations r5); smoke tier = -m 'not oracle and not slow'
+
+
 
 def build_synthetic_torch_sd(variables, rng):
     """Constructs a torchvision-style state_dict whose tensors are random but

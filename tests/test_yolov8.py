@@ -10,6 +10,8 @@ from metrabs_tpu.detect.yolov8 import (
     REG_MAX, YOLOv8, decode_heads, export_torch_style_state_dict,
     import_yolov8_from_torch)
 
+pytestmark = pytest.mark.slow  # multi-minute XLA CPU compiles (fast-tier durations r5); smoke tier = -m 'not oracle and not slow'
+
 
 @pytest.mark.parametrize('size,published', [
     ('n', 3_157_200), ('s', 11_166_560), ('m', 25_902_640)])
