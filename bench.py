@@ -78,9 +78,13 @@ def bench_crop_model(backbone_name, res, batch, iters):
         jnp.zeros((1, res, res, 3), jnp.bfloat16), jnp.eye(3)[None])
     if bn_fold:
         from metrabs_tpu.io.bn_fold import bn_epsilon_for, fold_bn_variables
-        params = fold_bn_variables(
+        # device_put the folded tree: fold_bn_variables works host-side, and
+        # numpy params passed as jit arguments would be RE-UPLOADED over the
+        # tunnel on every call (~seconds per dispatch — measured as a 60x
+        # fused-fps collapse before this line existed).
+        params = jax.device_put(fold_bn_variables(
             jax.tree_util.tree_map(np.asarray, params),
-            epsilon=bn_epsilon_for(backbone_name))
+            epsilon=bn_epsilon_for(backbone_name)))
         model = Metrabs(cfg=cfg, backbone=build_backbone(
             backbone_name, scan_blocks=scan_blocks, bn_fold=True))
 
@@ -191,14 +195,16 @@ def bench_fused_pipeline():
         train=False))()
     if bn_fold:
         # Same load-time fold as load_pose_estimator (crop model eps 1e-3,
-        # darknet detector eps 1e-5); see bench_crop_model.
+        # darknet detector eps 1e-5); device_put so the folded numpy trees
+        # are not re-uploaded through the tunnel on every dispatch (see
+        # bench_crop_model).
         from metrabs_tpu.io.bn_fold import fold_bn_variables
-        params = fold_bn_variables(
-            jax.tree_util.tree_map(np.asarray, params), epsilon=1e-3)
+        params = jax.device_put(fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, params), epsilon=1e-3))
         model = Metrabs(cfg=cfg, backbone=build_backbone(
             'efficientnetv2-s', scan_blocks=scan_blocks, bn_fold=True))
-        det_vars = fold_bn_variables(
-            jax.tree_util.tree_map(np.asarray, det_vars), epsilon=1e-5)
+        det_vars = jax.device_put(fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, det_vars), epsilon=1e-5))
         det_model = YOLOv4(num_classes=80, dtype=jnp.float32, bn_fold=True)
     # Weights threaded as jit arguments via crop_model_state (CLAUDE.md
     # rule 1: a closure would embed them as HLO constants in every compiled
